@@ -1,0 +1,14 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the JAX-native substitute for the "fake cluster" testing the
+reference lacks (see SURVEY.md §4): all sharding/collective paths are
+exercised on 8 virtual CPU devices.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
