@@ -1,0 +1,164 @@
+"""Basic NN building blocks (NHWC, Flax linen).
+
+Numerical-parity notes vs the reference (zsyOAOA/ResShift):
+  * GroupNorm32 computes statistics in float32 and casts back
+    (models/basic_ops.py:15-17); torch GroupNorm default eps=1e-5, the LDM
+    autoencoder's Normalize uses eps=1e-6 (ldm/modules/diffusionmodules/
+    model.py:46-47).
+  * timestep_embedding concatenates cos first, then sin
+    (models/basic_ops.py:99-117).
+  * ResBlock: GN-SiLU-conv3x3, FiLM scale-shift timestep injection, zero-init
+    output conv (models/unet.py:110-206).
+  * Downsample = stride-2 3x3 conv, Upsample = nearest 2x + 3x3 conv
+    (models/unet.py:53-108).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) with float32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xg = xf.reshape(shape[:-1] + (g, c // g))
+        # stats over all spatial dims + channels-within-group (torch GroupNorm)
+        red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = xg.mean(axis=red, keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=red, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = xg.reshape(shape)
+        out = xf * scale + bias
+        return out.astype(orig_dtype)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embeddings, cos-first ordering (basic_ops.py:99-117)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def zeros_init():
+    return nn.initializers.zeros
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + optional 3x3 conv (models/unet.py:53-81)."""
+
+    channels: int
+    use_conv: bool
+    out_channels: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = nn.Conv(self.out_channels or self.channels, (3, 3), padding=1,
+                        dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (or 2x2 avg-pool) (models/unet.py:83-108)."""
+
+    channels: int
+    use_conv: bool
+    out_channels: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_conv:
+            return nn.Conv(self.out_channels or self.channels, (3, 3), strides=2,
+                           padding=1, dtype=self.dtype, name="op")(x)
+        assert (self.out_channels or self.channels) == self.channels
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """UNet residual block with FiLM timestep injection (models/unet.py:110-206).
+
+    Param names mirror the torch Sequential indices so the checkpoint
+    converter is mechanical: in_layers.0 (GN), in_layers.2 (conv),
+    emb_layers.1 (linear), out_layers.0 (GN), out_layers.3 (conv, zero-init),
+    skip_connection.
+    """
+
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: int | None = None
+    use_conv: bool = False
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        out_ch = self.out_channels or self.channels
+
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            dtype=self.dtype, name="emb_proj",
+        )(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="skip_connection")(x)
+        else:
+            skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip_connection")(x)
+        return skip + h

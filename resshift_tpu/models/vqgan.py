@@ -1,0 +1,291 @@
+"""VQGAN autoencoder (f4/f8) — NHWC Flax linen.
+
+Parity with the reference's LDM modules:
+  * Encoder/Decoder conv backbones — `ldm/modules/diffusionmodules/model.py`
+    (Encoder :452-547, Decoder :550-660, ResnetBlock :90-149, AttnBlock
+    :152-203, Up/Downsample :50-88).  GroupNorm eps=1e-6 (:46-47), swish
+    nonlinearity, asymmetric (0,1) padding on the strided downsample conv.
+  * NOTE: even with `attn_resolutions: []` both Encoder and Decoder keep one
+    full self-attention block at the bottleneck (`mid.attn_1`, :505-509,
+    :594-600).  For large tiles this is computed with a query-chunked
+    (flash-style) softmax so memory stays O(N).
+  * VectorQuantizer2 — `ldm/modules/vqvae/quantize.py:213-329`: L2-nearest
+    codebook lookup with straight-through gradients.  `VQModel.encode`
+    returns the *pre-quantization* continuous latent; quantization happens
+    inside `decode` (ldm/models/autoencoder.py:28-40).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+def _norm(name: str):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name=name)
+
+
+class ResnetBlock(nn.Module):
+    in_channels: int
+    out_channels: int | None = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        out_ch = self.out_channels or self.in_channels
+        h = _norm("norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _norm("norm2")(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if self.in_channels != out_ch:
+            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Query-chunked softmax attention: O(chunk*N) memory.  q,k,v: (B,N,C)."""
+    b, n, c = q.shape
+    scale = c**-0.5
+    pad = (-n) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    nq = qp.shape[1] // chunk
+    qc = qp.reshape(b, nq, chunk, c)
+
+    def body(carry, qi):
+        w = jnp.einsum("bqc,bkc->bqk", qi * scale, k)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
+        return carry, jnp.einsum("bqk,bkc->bqc", w, v)
+
+    _, out = jax.lax.scan(body, None, qc.transpose(1, 0, 2, 3))
+    out = out.transpose(1, 0, 2, 3).reshape(b, nq * chunk, c)
+    return out[:, :n]
+
+
+class AttnBlock(nn.Module):
+    """Single-head full self-attention over all pixels (model.py:152-203)."""
+
+    in_channels: int
+    dtype: Dtype = jnp.float32
+    chunk_threshold: int = 16384  # switch to chunked softmax above this token count
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        hn = _norm("norm")(x.astype(jnp.float32)).astype(self.dtype)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, h * w, c)
+
+        n = h * w
+        if n > self.chunk_threshold:
+            out = _chunked_attention(q, k, v, chunk=4096)
+        else:
+            attn = jnp.einsum("bqc,bkc->bqk", q * (c**-0.5), k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        out = out.reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Asymmetric-pad stride-2 conv (model.py:68-88)."""
+
+    in_channels: int
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(self.in_channels, (3, 3), strides=2, padding="VALID",
+                           dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    in_channels: int
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Encoder(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: Sequence[int] | int = 2
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 256
+    in_channels: int = 3
+    z_channels: int = 3
+    double_z: bool = False
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    def _nrb(self) -> list[int]:
+        n = self.num_res_blocks
+        return [n] * len(self.ch_mult) if isinstance(n, int) else list(n)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        nrb = self._nrb()
+        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        curr_res = self.resolution
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+        for i_level in range(len(self.ch_mult)):
+            block_in = self.ch * in_ch_mult[i_level]
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(nrb[i_level]):
+                h = ResnetBlock(in_channels=block_in, out_channels=block_out,
+                                dropout=self.dropout, dtype=self.dtype,
+                                name=f"down{i_level}_block{i_block}")(h)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(block_in, dtype=self.dtype,
+                                  name=f"down{i_level}_attn{i_block}")(h)
+            if i_level != len(self.ch_mult) - 1:
+                h = Downsample(block_in, self.resamp_with_conv, dtype=self.dtype,
+                               name=f"down{i_level}_downsample")(h)
+                curr_res //= 2
+
+        h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
+                        dtype=self.dtype, name="mid_block1")(h)
+        h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn1")(h)
+        h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
+                        dtype=self.dtype, name="mid_block2")(h)
+
+        h = _norm("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.silu(h)
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: Sequence[int] | int = 2
+    attn_resolutions: Sequence[int] = ()
+    resolution: int = 256
+    z_channels: int = 3
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    tanh_out: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _nrb(self) -> list[int]:
+        n = self.num_res_blocks
+        return [n] * len(self.ch_mult) if isinstance(n, int) else list(n)
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        nrb = self._nrb()
+        num_res = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[num_res - 1]
+        curr_res = self.resolution // 2 ** (num_res - 1)
+
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
+                        dtype=self.dtype, name="mid_block1")(h)
+        h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn1")(h)
+        h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
+                        dtype=self.dtype, name="mid_block2")(h)
+
+        for i_level in reversed(range(num_res)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(nrb[i_level] + 1):
+                h = ResnetBlock(in_channels=block_in, out_channels=block_out,
+                                dropout=self.dropout, dtype=self.dtype,
+                                name=f"up{i_level}_block{i_block}")(h)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(block_in, dtype=self.dtype,
+                                  name=f"up{i_level}_attn{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(block_in, self.resamp_with_conv, dtype=self.dtype,
+                             name=f"up{i_level}_upsample")(h)
+                curr_res *= 2
+
+        h = _norm("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return jnp.tanh(h) if self.tanh_out else h
+
+
+class VectorQuantizer(nn.Module):
+    """L2-nearest codebook with straight-through grads (quantize.py:213-329)."""
+
+    n_e: int = 8192
+    e_dim: int = 3
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        emb = self.param(
+            "embedding",
+            nn.initializers.uniform(scale=2.0 / self.n_e),  # ~U(-1/n, 1/n) after shift
+            (self.n_e, self.e_dim), jnp.float32,
+        )
+        zf = z.astype(jnp.float32)
+        flat = zf.reshape(-1, self.e_dim)
+        d = (
+            jnp.sum(flat**2, axis=1, keepdims=True)
+            + jnp.sum(emb**2, axis=1)[None]
+            - 2.0 * flat @ emb.T
+        )
+        idx = jnp.argmin(d, axis=1)
+        z_q = emb[idx].reshape(zf.shape)
+        # straight-through estimator
+        z_q = zf + jax.lax.stop_gradient(z_q - zf)
+        return z_q.astype(z.dtype)
+
+
+class VQModel(nn.Module):
+    """VQModelTorch equivalent (ldm/models/autoencoder.py:12-50): encode
+    returns the pre-quantization latent; decode quantizes first."""
+
+    ddconfig: dict
+    n_embed: int = 8192
+    embed_dim: int = 3
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(self.ddconfig)
+        dd.pop("double_z", None)
+        dd.pop("padding_mode", None)
+        out_ch = dd.pop("out_ch", 3)
+        in_channels = dd.pop("in_channels", 3)
+        self.encoder = Encoder(in_channels=in_channels, double_z=False,
+                               dtype=self.dtype, **dd)
+        self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype, **dd)
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
+        self.quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.ddconfig["z_channels"], (1, 1),
+                                       dtype=self.dtype, name="post_quant_conv")
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.quant_conv(self.encoder(x))
+
+    def decode(self, h: jnp.ndarray, force_not_quantize: bool = False) -> jnp.ndarray:
+        quant = h if force_not_quantize else self.quantize(h)
+        return self.decoder(self.post_quant_conv(quant))
+
+    def __call__(self, x: jnp.ndarray, force_not_quantize: bool = False) -> jnp.ndarray:
+        return self.decode(self.encode(x), force_not_quantize)
