@@ -1,0 +1,129 @@
+"""Benchmark: megapixels/sec/chip at x4 SR, 15 steps (ImageNet-Test protocol:
+64px LQ tiles, batch 64 — README.md:135 eval protocol of the reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is the speedup over the PyTorch-CPU reference implementation
+running the identical workload (reference target: >=5x — BASELINE.json).
+The torch-CPU number is measured once and cached in .bench_cache.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+# allow the host CPU backend alongside the TPU (for cheap param init)
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+TILE = 64          # LQ tile (ImageNet-Test chop size)
+BATCH = 64         # tiles per forward (reference --bs 64)
+STEPS = 15
+SF = 4
+CACHE = REPO / ".bench_cache.json"
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from resshift_tpu.pipeline import ResShiftPipeline
+
+    pipe = ResShiftPipeline("realsr_v1", dtype=jnp.bfloat16)
+    # init on host CPU: random weights only need to exist, not to be compiled
+    # for TPU (saves several minutes of remote-compile time)
+    cpus = jax.devices("cpu")
+    with jax.default_device(cpus[0]):
+        params = pipe.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, TILE, TILE, 3),
+                            jnp.float32, -1.0, 1.0)
+    key = jax.random.PRNGKey(2)
+
+    out = pipe.sample(params, lq, key)  # compile
+    out.block_until_ready()
+    n_iter = 5
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = pipe.sample(params, lq, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+    mpx = BATCH * (TILE * SF) ** 2 / 1e6
+    return mpx / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference implementation (actual /root/reference code) on CPU, same
+    workload per-tile; measured at batch 1 and scaled."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from ref_loader import load_reference
+
+    RefUNet, RefVQ = load_reference()
+    sys.path.insert(0, "/root/reference")
+    from models.script_util import create_gaussian_diffusion
+
+    torch.manual_seed(0)
+    unet = RefUNet(image_size=64, in_channels=3, model_channels=160, out_channels=3,
+                   num_res_blocks=[2, 2, 2, 2], attention_resolutions=[64, 32, 16, 8],
+                   channel_mult=[1, 2, 2, 4], num_head_channels=32,
+                   use_scale_shift_norm=True, resblock_updown=False, swin_depth=2,
+                   swin_embed_dim=192, window_size=8, mlp_ratio=4, cond_lq=True,
+                   lq_size=64, dropout=0, conv_resample=True, dims=2,
+                   use_fp16=False).eval()
+    vq = RefVQ(ddconfig=dict(double_z=False, z_channels=3, resolution=256,
+                             in_channels=3, out_ch=3, ch=128, ch_mult=[1, 2, 4],
+                             num_res_blocks=2, attn_resolutions=[], dropout=0.0),
+               n_embed=8192, embed_dim=3).eval()
+    diffusion = create_gaussian_diffusion(
+        normalize_input=True, schedule_name="exponential", sf=SF,
+        min_noise_level=0.04, steps=STEPS, kappa=2.0, etas_end=0.99,
+        schedule_kwargs={"power": 0.3}, weighted_mse=False, predict_type="xstart",
+        timestep_respacing=None, scale_factor=1.0, latent_flag=True,
+    )
+    b = 1
+    lq = torch.rand(b, 3, TILE, TILE) * 2 - 1
+    with torch.no_grad():
+        diffusion.p_sample_loop(y=lq, model=unet, first_stage_model=vq,
+                                clip_denoised=False, model_kwargs={"lq": lq})  # warmup
+        t0 = time.perf_counter()
+        diffusion.p_sample_loop(y=lq, model=unet, first_stage_model=vq,
+                                clip_denoised=False, model_kwargs={"lq": lq})
+        dt = time.perf_counter() - t0
+    return b * (TILE * SF) ** 2 / 1e6 / dt
+
+
+def main():
+    tpu_mpx = bench_tpu()
+
+    cache = {}
+    if CACHE.exists():
+        cache = json.loads(CACHE.read_text())
+    if "torch_cpu_mpx_per_s" not in cache:
+        try:
+            cache["torch_cpu_mpx_per_s"] = bench_torch_cpu()
+            CACHE.write_text(json.dumps(cache))
+        except Exception as e:  # torch baseline is best-effort
+            print(f"torch-cpu baseline failed: {e}", file=sys.stderr)
+            cache["torch_cpu_mpx_per_s"] = None
+
+    base = cache.get("torch_cpu_mpx_per_s")
+    vs = round(tpu_mpx / base, 2) if base else None
+    print(json.dumps({
+        "metric": "x4 SR throughput, 15 steps, 64px tiles, batch 64",
+        "value": round(tpu_mpx, 3),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

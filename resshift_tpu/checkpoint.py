@@ -1,0 +1,45 @@
+"""Checkpoint save/load (orbax).
+
+Replaces the reference's torch.save/torch.load + prefix-tolerant
+`reload_model` (trainer.py:342-356, utils/util_net.py:86-98) with orbax
+pytree checkpoints.  Train-state checkpoints carry params, optimizer
+moments, EMA, and the step counter — resuming replays the LR schedule
+exactly because the step lives in the state (reference replays it manually
+at trainer.py:165-167; it deliberately does NOT save optimizer moments,
+we do — strictly better resume fidelity).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_params", "load_params", "save_train_state", "restore_train_state"]
+
+
+def _ckptr():
+    return ocp.StandardCheckpointer()
+
+
+def save_params(path: str | Path, params: Any) -> None:
+    path = Path(path).resolve()
+    _ckptr().save(path, params, force=True)
+
+
+def load_params(path: str | Path) -> Any:
+    return _ckptr().restore(Path(path).resolve())
+
+
+def save_train_state(path: str | Path, state: Any, step: int | None = None) -> None:
+    path = Path(path).resolve()
+    if step is not None:
+        path = path / f"step_{step:08d}"
+    _ckptr().save(path, state, force=True)
+
+
+def restore_train_state(path: str | Path, template: Any) -> Any:
+    """Restore into the structure of `template` (shapes/dtypes must match)."""
+    return _ckptr().restore(Path(path).resolve(), template)

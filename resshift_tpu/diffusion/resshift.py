@@ -168,12 +168,16 @@ def p_sample(
     *,
     clip_denoised: bool = True,
     model_kwargs: dict[str, Any] | None = None,
+    noise_repeat: bool = False,
 ):
-    """One reverse step: sample x_{t-1} (gaussian_diffusion.py:332-365)."""
+    """One reverse step: sample x_{t-1} (gaussian_diffusion.py:332-365).
+    `noise_repeat` repeats sample-0's noise across the batch (:359-360)."""
     out = p_mean_variance(
         sched, model_fn, x_t, y, t, clip_denoised=clip_denoised, model_kwargs=model_kwargs
     )
     noise = jax.random.normal(key, x_t.shape, dtype=jnp.float32)
+    if noise_repeat:
+        noise = jnp.broadcast_to(noise[:1], noise.shape)
     t_vec = jnp.broadcast_to(jnp.asarray(t), (x_t.shape[0],))
     nonzero = (t_vec != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x_t.ndim - 1))
     sample = out.mean + nonzero * jnp.exp(0.5 * out.log_variance) * noise
@@ -189,6 +193,7 @@ def sample_loop(
     noise: jnp.ndarray | None = None,
     clip_denoised: bool = True,
     model_kwargs: dict[str, Any] | None = None,
+    noise_repeat: bool = False,
 ):
     """Full reverse chain as one `lax.scan` over t = T-1 .. 0.
 
@@ -208,6 +213,7 @@ def sample_loop(
         x_next, _ = p_sample(
             sched, model_fn, x, z_y, t, k,
             clip_denoised=clip_denoised, model_kwargs=model_kwargs,
+            noise_repeat=noise_repeat,
         )
         return x_next, ()
 
@@ -224,6 +230,7 @@ def sample_loop_progressive(
     noise: jnp.ndarray | None = None,
     clip_denoised: bool = True,
     model_kwargs: dict[str, Any] | None = None,
+    noise_repeat: bool = False,
 ):
     """Like :func:`sample_loop` but also returns all intermediate samples and
     x0 predictions, stacked on a leading time axis (T, B, H, W, C)."""
@@ -240,6 +247,7 @@ def sample_loop_progressive(
         x_next, pred_x0 = p_sample(
             sched, model_fn, x, z_y, t, k,
             clip_denoised=clip_denoised, model_kwargs=model_kwargs,
+            noise_repeat=noise_repeat,
         )
         return x_next, (x_next, pred_x0)
 

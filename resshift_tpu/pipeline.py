@@ -1,0 +1,247 @@
+"""End-to-end ResShift pipeline: config -> models -> one-jit sampler.
+
+The reference runs its reverse chain as a host loop with 15/4 separate
+kernel-launch rounds plus VQGAN encode/decode round-trips
+(models/gaussian_diffusion.py:367-472, sampler.py:119-165).  Here the whole
+thing — bicubic upsample, VQGAN encode, prior sample, `lax.scan` over
+timesteps, VQGAN decode, clamp — compiles to a single XLA program per input
+shape.  Tiled ("chopped") inference for large images is likewise folded into
+the same program via a static tile grid (ops/tiling.py), with tiles batched
+through the sampler in fixed-size chunks via `lax.map`.
+
+Task parity notes:
+  * `clip_denoised` is False whenever an autoencoder is present
+    (sampler.py:150 — clip_denoised=(autoencoder is None)).
+  * Inputs are reflect-padded to a multiple of `padding_offset` (=lq_size)
+    and cropped back (sampler.py:130-137,160-161).
+  * Output clamped to [-1, 1] (sampler.py:165).
+  * `noise_repeat` repeats sample-0's noise across the batch
+    (gaussian_diffusion.py:359-360,447-448).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import task_config
+from .diffusion import build_schedule
+from .diffusion import resshift as rs
+from .models import UNetModelSwin, VQModel
+from .ops.resize import resize
+from .ops.tiling import TileGrid
+
+
+class ResShiftPipeline:
+    """Holds model definitions + schedule; `sample` is the jitted entry."""
+
+    def __init__(self, config: dict | str, dtype=jnp.bfloat16, use_autoencoder: bool = True):
+        if isinstance(config, str):
+            config = task_config(config)
+        self.config = config
+        self.sf = int(config["sf"])
+        d = config["diffusion"]
+        self.sched = build_schedule(
+            schedule_name=d.get("schedule_name", "exponential"),
+            steps=d["steps"], min_noise_level=d["min_noise_level"],
+            etas_end=d.get("etas_end", 0.99), kappa=d.get("kappa", 1.0),
+            power=d.get("power", 0.3), predict_type=d.get("predict_type", "xstart"),
+            timestep_respacing=d.get("timestep_respacing"),
+            normalize_input=d.get("normalize_input", True),
+            latent_flag=d.get("latent_flag", True),
+            scale_factor=d.get("scale_factor", 1.0), sf=self.sf,
+        )
+        m = dict(config["model"])
+        m.pop("dims", None)
+        m.pop("use_fp16", None)
+        self.unet = UNetModelSwin(dtype=dtype, **m)
+        self.cond_lq = m.get("cond_lq", True)
+        self.cond_mask = m.get("cond_mask", False)
+        ae = config.get("autoencoder")
+        if ae is not None and use_autoencoder:
+            self.vq = VQModel(ddconfig=ae["ddconfig"], n_embed=ae["n_embed"],
+                              embed_dim=ae["embed_dim"], dtype=dtype)
+        else:
+            self.vq = None
+        inf = config.get("inference", {})
+        self.padding_offset = int(inf.get("padding_offset", m.get("lq_size", 64)))
+        self.chop_size = int(inf.get("chop_size", 512))
+        self.chop_stride = int(inf.get("chop_stride", 448))
+        self._jit_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ params
+
+    def init_params(self, key: jax.Array, lq_hw: tuple[int, int] | None = None) -> dict:
+        """Random params (for benchmarking / training-from-scratch)."""
+        h = w = self.config["model"].get("lq_size", 64)
+        if lq_hw is not None:
+            h, w = lq_hw
+        ku, kv = jax.random.split(key)
+        lat_h, lat_w = self._latent_hw(h, w)
+        x = jnp.zeros((1, lat_h, lat_w, self.config["model"].get("in_channels", 3)))
+        lq = jnp.zeros((1, h, w, 3))
+        mask = jnp.zeros((1, h, w, 1)) if self.cond_mask else None
+        t = jnp.zeros((1,), jnp.int32)
+        kw = {"lq": lq} if self.cond_lq else {}
+        if mask is not None:
+            kw["mask"] = mask
+        params = {"unet": self.unet.init(ku, x, t, **kw)["params"]}
+        if self.vq is not None:
+            img = jnp.zeros((1, h * self.sf, w * self.sf, 3))
+            params["vqgan"] = self.vq.init(kv, img)["params"]
+        return params
+
+    def load_torch_checkpoints(self, unet_path: str, vqgan_path: str | None = None) -> dict:
+        """Load + convert the reference's released .pth checkpoints."""
+        from .convert import convert_unet_swin, convert_vqgan, load_torch_state_dict
+
+        m = self.config["model"]
+        params = {
+            "unet": convert_unet_swin(
+                load_torch_state_dict(unet_path),
+                image_size=m["image_size"], channel_mult=m["channel_mult"],
+                num_res_blocks=m["num_res_blocks"],
+                attention_resolutions=m["attention_resolutions"],
+                swin_depth=m.get("swin_depth", 2), cond_lq=m.get("cond_lq", True),
+                lq_size=m.get("lq_size", 64),
+                resblock_updown=m.get("resblock_updown", False),
+            )
+        }
+        if vqgan_path is not None and self.vq is not None:
+            ae = self.config["autoencoder"]
+            dd = ae["ddconfig"]
+            params["vqgan"] = convert_vqgan(
+                load_torch_state_dict(vqgan_path),
+                ch_mult=dd["ch_mult"], num_res_blocks=dd["num_res_blocks"],
+                attn_resolutions=dd.get("attn_resolutions", ()),
+                resolution=dd.get("resolution", 256),
+            )
+        return params
+
+    # ------------------------------------------------------------- core
+
+    def _latent_hw(self, h: int, w: int) -> tuple[int, int]:
+        """Latent spatial dims for an (h, w) LQ input: upsample by sf, then
+        divide by the AE's downsampling factor."""
+        if self.vq is None:
+            return h * self.sf, w * self.sf
+        f = 2 ** (len(self.config["autoencoder"]["ddconfig"]["ch_mult"]) - 1)
+        return h * self.sf // f, w * self.sf // f
+
+    def _encode(self, vq_params, y: jnp.ndarray, up_sample: bool) -> jnp.ndarray:
+        if up_sample and self.sf != 1:
+            n, h, w, c = y.shape
+            y = resize(y, (h * self.sf, w * self.sf), "bicubic_torch")
+        if self.vq is None:
+            return y.astype(jnp.float32)
+        z = self.vq.apply({"params": vq_params}, y, method=self.vq.encode)
+        return z.astype(jnp.float32) * self.sched.scale_factor
+
+    def _decode(self, vq_params, z: jnp.ndarray) -> jnp.ndarray:
+        if self.vq is None:
+            return z
+        z = z / self.sched.scale_factor
+        return self.vq.apply({"params": vq_params}, z, method=self.vq.decode).astype(jnp.float32)
+
+    def _sample_tile(self, params, lq, key, mask=None, noise_repeat=False):
+        """Sampler for one (padded) tile batch — everything in latent space
+        plus encode/decode; traced into the enclosing jit."""
+        z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
+
+        model_kwargs = {}
+        if self.cond_lq:
+            model_kwargs["lq"] = lq
+        if self.cond_mask and mask is not None:
+            model_kwargs["mask"] = mask
+
+        def model_fn(x, t_orig, **kw):
+            return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)
+
+        key, kprior = jax.random.split(key)
+        noise = jax.random.normal(kprior, z_y.shape, dtype=jnp.float32)
+        if noise_repeat:
+            noise = jnp.broadcast_to(noise[:1], noise.shape)
+        z0 = rs.sample_loop(
+            self.sched, model_fn, z_y, key, noise=noise,
+            clip_denoised=(self.vq is None), model_kwargs=model_kwargs,
+            noise_repeat=noise_repeat,
+        )
+        img = self._decode(params.get("vqgan"), z0)
+        return jnp.clip(img, -1.0, 1.0)
+
+    def _sample_padded(self, params, lq, key, mask, noise_repeat, chop_size,
+                       chop_stride, tile_bs):
+        """Pad -> (maybe tile) -> sample -> crop.  Static-shape core."""
+        b, h, w, c = lq.shape
+        offset = self.padding_offset
+        ph = math.ceil(h / offset) * offset - h
+        pw = math.ceil(w / offset) * offset - w
+        if ph or pw:
+            lq = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        hp, wp = h + ph, w + pw
+
+        if hp <= chop_size and wp <= chop_size:
+            out = self._sample_tile(params, lq, key, mask, noise_repeat)
+        else:
+            grid = TileGrid(hp, wp, chop_size, chop_stride, sf=self.sf)
+            tiles = grid.split(lq)  # (T*B, th, tw, C)
+            mtiles = grid.split(mask) if mask is not None else None
+            t_total = grid.num_tiles * b
+            n_chunks = math.ceil(t_total / tile_bs)
+            pad_t = n_chunks * tile_bs - t_total
+            if pad_t:
+                tiles = jnp.concatenate([tiles, tiles[:pad_t]], axis=0)
+                if mtiles is not None:
+                    mtiles = jnp.concatenate([mtiles, mtiles[:pad_t]], axis=0)
+            th, tw = grid.tile_hw
+            tiles = tiles.reshape(n_chunks, tile_bs, th, tw, c)
+            keys = jax.random.split(key, n_chunks)
+            if mtiles is not None:
+                mtiles = mtiles.reshape(n_chunks, tile_bs, th, tw, mtiles.shape[-1])
+
+                def body(args):
+                    tl, mk, k = args
+                    return self._sample_tile(params, tl, k, mk, noise_repeat)
+
+                outs = jax.lax.map(body, (tiles, mtiles, keys))
+            else:
+
+                def body(args):
+                    tl, k = args
+                    return self._sample_tile(params, tl, k, None, noise_repeat)
+
+                outs = jax.lax.map(body, (tiles, keys))
+            outs = outs.reshape(n_chunks * tile_bs, th * self.sf, tw * self.sf, c)
+            if pad_t:
+                outs = outs[:t_total]
+            out = grid.gather(outs, b)
+
+        return out[:, :h * self.sf, :w * self.sf, :]
+
+    # -------------------------------------------------------------- API
+
+    def sample(self, params, lq, key, mask=None, *, noise_repeat=False,
+               chop_size: int | None = None, chop_stride: int | None = None,
+               tile_bs: int = 1):
+        """SR/restore a batch of LQ images (NHWC, [-1,1] float32).
+
+        One compiled XLA program per distinct input shape; shapes are cached.
+        """
+        chop_size = chop_size or self.chop_size
+        chop_stride = chop_stride or self.chop_stride
+        sig = (lq.shape, None if mask is None else mask.shape, bool(noise_repeat),
+               chop_size, chop_stride, tile_bs)
+        if sig not in self._jit_cache:
+            fn = functools.partial(
+                self._sample_padded, noise_repeat=noise_repeat,
+                chop_size=chop_size, chop_stride=chop_stride, tile_bs=tile_bs,
+            )
+            self._jit_cache[sig] = jax.jit(lambda p, x, k, m: fn(p, x, k, m))
+        return self._jit_cache[sig](params, lq, key, mask)
