@@ -178,6 +178,34 @@ def resize(
     return out
 
 
+def resize_np(x: np.ndarray, out_hw: tuple[int, int], mode: str = "bicubic_matlab",
+              antialias: bool = False) -> np.ndarray:
+    """Pure-numpy resize (same matrices) for host-side data loading.
+    x: HWC or HW float array."""
+    if mode == "bicubic_matlab":
+        antialias = True
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    h, w, c = x.shape
+    oh, ow = out_hw
+    out = x.astype(np.float64)
+    if h != oh:
+        out = np.einsum("oh,hwc->owc", _resize_matrix_np(h, oh, mode, antialias), out)
+    if w != ow:
+        out = np.einsum("ow,hwc->hoc", _resize_matrix_np(w, ow, mode, antialias), out)
+    out = out.astype(x.dtype)
+    return out[..., 0] if squeeze else out
+
+
+def imresize_matlab(x: np.ndarray, scale: float) -> np.ndarray:
+    """MATLAB imresize(im, scale) equivalent (util_image.py:314-447): output
+    size = ceil(in * scale), antialiased a=-0.5 cubic, symmetric border."""
+    h, w = x.shape[:2]
+    oh, ow = int(np.ceil(h * scale)), int(np.ceil(w * scale))
+    return resize_np(x, (oh, ow), "bicubic_matlab")
+
+
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Nearest 2x upsample for NHWC (torch F.interpolate nearest, integer factor)."""
     n, h, w, c = x.shape

@@ -1,0 +1,128 @@
+"""Dataset layer tests — run against the reference's bundled testdata
+(read-only) plus synthetic folders."""
+
+import numpy as np
+import pytest
+
+from resshift_tpu.data.datasets import (BaseData, BicubicData, DataLoader,
+                                        InpaintingData, InpaintingValData,
+                                        RealESRGANData, create_dataset)
+from resshift_tpu.data.masks import MixedMaskGenerator
+from resshift_tpu.ops.resize import imresize_matlab
+from resshift_tpu.utils.image_io import imread
+
+TD = "/root/reference/testdata"
+
+
+def test_base_data_paired():
+    ds = create_dataset({"type": "base", "params": {
+        "dir_path": f"{TD}/Bicubicx4/lq_matlab", "extra_dir_path": f"{TD}/Bicubicx4/gt",
+        "transform_kwargs": {"mean": 0.5, "std": 0.5}, "need_path": True}})
+    assert len(ds) == 16
+    item = ds[0]
+    assert item["lq"].shape[2] == 3 and item["gt"].shape[2] == 3
+    assert item["gt"].shape[0] == item["lq"].shape[0] * 4
+    assert -1.0 <= item["lq"].min() and item["lq"].max() <= 1.0
+    assert "path" in item
+
+
+def test_matlab_bicubic_lq_matches_bundled_testdata():
+    """The bundled lq_matlab images were produced by MATLAB imresize — our
+    imresize_matlab on the GT must reproduce them to ~quantization error."""
+    ds = BaseData(dir_path=f"{TD}/Bicubicx4/gt", need_path=True)
+    p = ds.paths[0]
+    gt = imread(p)
+    from pathlib import Path
+
+    lq_ref = imread(Path(f"{TD}/Bicubicx4/lq_matlab") / Path(p).name)
+    lq_mine = np.clip(imresize_matlab(gt, 0.25), 0, 1)
+    err = np.abs(lq_mine - lq_ref).max()
+    assert err < 3 / 255.0, f"max err {err * 255:.2f}/255"
+    # mean abs error well below one quantization step
+    assert np.abs(lq_mine - lq_ref).mean() < 0.6 / 255.0
+
+
+def test_realesrgan_data_kernels(tmp_path):
+    ds = RealESRGANData(dir_paths=[f"{TD}/Bicubicx4/gt"], gt_size=64,
+                        rescale_gt=True, seed=1)
+    item = ds[0]
+    assert item["gt"].shape == (64, 64, 3)
+    assert item["kernel1"].shape == (21, 21)
+    assert item["kernel2"].shape == (15, 15)
+    assert item["sinc_kernel"].shape == (15, 15)
+    for k in ("kernel1", "kernel2", "sinc_kernel"):
+        np.testing.assert_allclose(item[k].sum(), 1.0, rtol=1e-4)
+
+
+def test_bicubic_data():
+    ds = BicubicData(source_path=f"{TD}/Bicubicx4/gt",
+                     degrade_kwargs={"scale": 0.25, "pch_size": 128}, seed=2)
+    item = ds[0]
+    assert item["gt"].shape == (128, 128, 3)
+    assert item["lq"].shape == (32, 32, 3)
+
+
+def test_inpainting_train_and_val():
+    ds = InpaintingData(dir_path=f"{TD}/Bicubicx4/gt", pch_size=128, seed=3,
+                        mask_kwargs={"irregular_proba": 1,
+                                     "irregular_kwargs": {"max_len": 50, "max_width": 30,
+                                                          "max_times": 3, "min_times": 1},
+                                     "box_proba": 1, "outpainting_proba": 1})
+    item = ds[0]
+    assert item["gt"].shape == (128, 128, 3)
+    assert item["mask"].shape == (128, 128, 1)
+    # masked area of lq == -(mean/std) = -1
+    m = item["mask"][..., 0] > 0
+    if m.any():
+        np.testing.assert_allclose(item["lq"][m], -1.0, atol=1e-6)
+
+    vds = InpaintingValData(lq_path=f"{TD}/inpainting/imagenet/lq",
+                            gt_path=f"{TD}/inpainting/imagenet/gt",
+                            mask_path=f"{TD}/inpainting/imagenet/mask",
+                            im_exts="JPEG")
+    item = vds[0]
+    assert set(item) >= {"lq", "gt", "mask"}
+    assert item["mask"].shape[-1] == 1
+
+
+def test_mask_generator_families():
+    rng = np.random.default_rng(0)
+    gen = MixedMaskGenerator(rng=rng, irregular_proba=1, box_proba=1,
+                             outpainting_proba=1, half_proba=1, expand_proba=1,
+                             superres_proba=1, alterline_proba=1)
+    for _ in range(20):
+        m = gen((64, 64))
+        assert m.shape == (64, 64, 1)
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_dataloader_shard_and_batch():
+    ds = BaseData(dir_path=f"{TD}/Bicubicx4/lq_matlab")
+    dl0 = DataLoader(ds, batch_size=2, shuffle=True, seed=7, shard_id=0, num_shards=2,
+                     prefetch=0)
+    dl1 = DataLoader(ds, batch_size=2, shuffle=True, seed=7, shard_id=1, num_shards=2,
+                     prefetch=0)
+    b0 = list(dl0)
+    b1 = list(dl1)
+    assert len(b0) == len(b1) == 4  # 16 imgs / 2 shards / bs 2
+    assert b0[0]["lq"].shape[0] == 2
+    # shards see disjoint items: check by pixel sums
+    s0 = {float(b["lq"].sum()) for b in b0}
+    s1 = {float(b["lq"].sum()) for b in b1}
+    assert not (s0 & s1)
+    # prefetch path yields identical batches
+    dl0p = DataLoader(ds, batch_size=2, shuffle=True, seed=7, shard_id=0, num_shards=2,
+                      prefetch=2)
+    b0p = list(dl0p)
+    np.testing.assert_array_equal(b0[0]["lq"], b0p[0]["lq"])
+
+
+def test_face_degradation_testing():
+    from resshift_tpu.data.faces import face_degradation
+
+    im = imread(f"{TD}/Bicubicx4/gt/" +
+                sorted(__import__('os').listdir(f"{TD}/Bicubicx4/gt"))[0])
+    lq = face_degradation(im, sf=4, sig_x=2.0, sig_y=1.0, theta=0.5, nf=10, qf=60)
+    assert lq.shape == im.shape
+    assert 0 <= lq.min() and lq.max() <= 1
+    assert np.abs(lq - im).mean() > 0.005  # actually degraded
