@@ -26,7 +26,9 @@ def _ckptr():
 
 def save_params(path: str | Path, params: Any) -> None:
     path = Path(path).resolve()
-    _ckptr().save(path, params, force=True)
+    c = _ckptr()
+    c.save(path, params, force=True)
+    c.wait_until_finished()
 
 
 def load_params(path: str | Path) -> Any:
@@ -37,7 +39,9 @@ def save_train_state(path: str | Path, state: Any, step: int | None = None) -> N
     path = Path(path).resolve()
     if step is not None:
         path = path / f"step_{step:08d}"
-    _ckptr().save(path, state, force=True)
+    c = _ckptr()
+    c.save(path, state, force=True)
+    c.wait_until_finished()
 
 
 def restore_train_state(path: str | Path, template: Any) -> Any:

@@ -123,6 +123,22 @@ def cmd_infer(args):
             print(f"PSNR(Y): {psnr / n:.2f} dB  SSIM(Y): {ssim / n:.4f}  ({n} images)")
 
 
+def cmd_train(args):
+    import jax.numpy as jnp
+
+    from .config import load_yaml_config, task_config
+    from .train_loop import Trainer
+
+    cfg = load_yaml_config(args.config) if args.config else task_config(
+        args.task if args.task != "realsr" else f"realsr_{args.version}")
+    if "data" not in cfg or not cfg["data"].get("train"):
+        raise SystemExit("config has no data.train section — provide --config "
+                         "with dataset paths")
+    Trainer(cfg, save_dir=args.save_dir, resume=args.resume,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            seed=args.seed).train()
+
+
 def cmd_convert(args):
     """Convert a torch .pth pair into a native orbax checkpoint."""
     from .checkpoint import save_params
@@ -168,6 +184,12 @@ def make_parser() -> argparse.ArgumentParser:
     common(pc)
     pc.add_argument("--out-path", required=True)
     pc.set_defaults(fn=cmd_convert)
+
+    pt = sub.add_parser("train", help="train a task (main.py equivalent)")
+    common(pt)
+    pt.add_argument("--save-dir", default="./save_dir")
+    pt.add_argument("--resume", default=None)
+    pt.set_defaults(fn=cmd_train)
     return p
 
 

@@ -20,3 +20,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated suite runs skip most XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/resshift_tpu_test_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

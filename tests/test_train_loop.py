@@ -1,0 +1,109 @@
+"""End-to-end training smoke tests on the 8-device CPU mesh with real
+bundled testdata (the reference's only integration test was its training-
+loop validation — SURVEY §4; ours is automated)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from resshift_tpu.train_loop import Trainer
+
+TD = "/root/reference/testdata"
+
+
+def tiny_train_config(train_type="bicubic", iterations=4):
+    cfg = dict(
+        task="test", sf=4,
+        model=dict(
+            image_size=16, in_channels=3, model_channels=32, out_channels=3,
+            attention_resolutions=[16, 8], dropout=0.0, channel_mult=[1, 2],
+            num_res_blocks=[1, 1], conv_resample=True, num_head_channels=16,
+            use_scale_shift_norm=True, resblock_updown=False, swin_depth=2,
+            swin_embed_dim=32, window_size=4, mlp_ratio=2, cond_lq=True,
+            cond_mask=False, lq_size=16,
+        ),
+        diffusion=dict(schedule_name="exponential", steps=4, min_noise_level=0.2,
+                       etas_end=0.99, kappa=2.0, power=0.3, predict_type="xstart",
+                       timestep_respacing=None, normalize_input=True,
+                       latent_flag=True, scale_factor=1.0, sf=4),
+        autoencoder=dict(embed_dim=3, n_embed=64, ddconfig=dict(
+            double_z=False, z_channels=3, resolution=64, in_channels=3, out_ch=3,
+            ch=32, ch_mult=[1, 2, 4], num_res_blocks=1, attn_resolutions=[],
+            dropout=0.0)),
+        inference=dict(chop_size=16, chop_stride=12, padding_offset=16),
+        train=dict(lr=1e-4, lr_min=5e-5, lr_schedule="cosin", warmup_iterations=2,
+                   iterations=iterations, batch=8, microbatch=4, ema_rate=0.9,
+                   save_freq=1000, log_freq=[2, 1000], val_freq=1000),
+    )
+    if train_type == "bicubic":
+        cfg["data"] = dict(train=dict(type="bicubic", params=dict(
+            source_path=f"{TD}/Bicubicx4/gt",
+            degrade_kwargs={"scale": 0.25, "pch_size": 64},
+            transform_kwargs={"mean": 0.5, "std": 0.5})))
+    elif train_type == "realesrgan":
+        cfg["degradation"] = dict(sf=4, gt_size=64, queue_size=8)
+        cfg["data"] = dict(train=dict(type="realesrgan", params=dict(
+            dir_paths=[f"{TD}/Bicubicx4/gt"], gt_size=128, rescale_gt=True)))
+    return cfg
+
+
+def test_train_bicubic_smoke(tmp_path):
+    tr = Trainer(tiny_train_config("bicubic", iterations=4),
+                 save_dir=str(tmp_path), seed=0)
+    assert tr.n_dev == 8  # really running over the virtual mesh
+    state = tr.train()
+    assert int(state.step) == 4
+    # loss logged + finite
+    log = (tmp_path / "train_log.jsonl").read_text().strip().splitlines()
+    assert len(log) >= 1
+    import json
+
+    m = json.loads(log[-1])
+    assert np.isfinite(m["loss"]) and m["loss"] > 0
+    # EMA differs from params but tracks them
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               state.params, state.ema_params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_train_realesrgan_smoke(tmp_path):
+    tr = Trainer(tiny_train_config("realesrgan", iterations=2),
+                 save_dir=str(tmp_path), seed=0)
+    state = tr.train()
+    assert int(state.step) == 2
+
+
+def test_checkpoint_save_resume_roundtrip(tmp_path):
+    cfg = tiny_train_config("bicubic", iterations=2)
+    tr = Trainer(cfg, save_dir=str(tmp_path), seed=0)
+    state = tr.train()  # final save fires at step 2
+    ck = tmp_path / "ckpts" / "step_00000002"
+    assert ck.exists()
+
+    tr2 = Trainer(cfg, save_dir=str(tmp_path / "b"), seed=0)
+    tr2.resume(str(ck))
+    assert tr2.start_iter == 2
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too (better than the reference, which drops
+    # them — trainer.py:145-192)
+    oa = jax.tree_util.tree_leaves(state.opt_state)[0]
+    ob = jax.tree_util.tree_leaves(tr2.state.opt_state)[0]
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_lr_schedule_replay():
+    from resshift_tpu.trainer import TrainConfig, lr_schedule_fn
+
+    cfg = TrainConfig(lr=1e-4, lr_min=2e-5, lr_schedule="cosin",
+                      warmup_iterations=10, iterations=100)
+    fn = lr_schedule_fn(cfg)
+    lrs = [float(fn(i)) for i in range(100)]
+    # warmup ramps up
+    assert lrs[0] < lrs[5] < lrs[10]
+    # cosine decays to lr_min
+    assert abs(lrs[99] - 2e-5) < 3e-6
+    assert max(lrs) <= 1e-4 + 1e-9
