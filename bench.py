@@ -42,17 +42,26 @@ def bench_tpu() -> float:
     with jax.default_device(cpus[0]):
         params = pipe.init_params(jax.random.PRNGKey(0))
     params = jax.device_put(params, jax.devices()[0])
-    lq = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, TILE, TILE, 3),
-                            jnp.float32, -1.0, 1.0)
-    key = jax.random.PRNGKey(2)
+    # Measurement protocol: iterations are chained inside ONE jit (scan) and
+    # only a scalar leaves the device.  This measures true device compute —
+    # per-call host->device transfer would otherwise dominate through this
+    # dev environment's slow TPU tunnel (and block_until_ready does not
+    # actually block on the axon relay).
+    n_iter = 4
 
-    out = pipe.sample(params, lq, key)  # compile
-    out.block_until_ready()
-    n_iter = 5
+    @jax.jit
+    def chained(p, key):
+        def body(carry, k):
+            lq = jax.random.uniform(k, (BATCH, TILE, TILE, 3), jnp.float32,
+                                    -1.0, 1.0) + 1e-4 * carry
+            out = pipe._sample_tile(p, lq, k)
+            return jnp.mean(out), ()
+        out, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n_iter))
+        return out
+
+    float(chained(params, jax.random.PRNGKey(2)))  # compile + warmup
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = pipe.sample(params, lq, jax.random.fold_in(key, i))
-    out.block_until_ready()
+    float(chained(params, jax.random.PRNGKey(3)))
     dt = (time.perf_counter() - t0) / n_iter
     mpx = BATCH * (TILE * SF) ** 2 / 1e6
     return mpx / dt

@@ -16,6 +16,8 @@ Numerical-parity notes vs the reference (zsyOAOA/ResShift):
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Callable, Sequence
 
 import flax.linen as nn
@@ -39,16 +41,29 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        shape = xf.shape
-        xg = xf.reshape(shape[:-1] + (g, c // g))
-        # stats over all spatial dims + channels-within-group (torch GroupNorm)
-        red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = xg.mean(axis=red, keepdims=True)
-        var = ((xg - mean) ** 2).mean(axis=red, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        xf = xg.reshape(shape)
-        out = xf * scale + bias
+        shape = x.shape
+        spatial = tuple(range(1, x.ndim - 1))
+        n_per_group = (c // g) * int(np.prod([shape[i] for i in spatial])) if spatial else c // g
+
+        # TPU-layout-friendly group statistics: reducing into (B, C) keeps C
+        # on the lane dimension, then a tiny (C, G) one-hot matmul sums
+        # channels within each group — no (…, G, C/G) reshape, which would
+        # put C/G (often 6-20) on lanes and force relayout copies.
+        onehot = jnp.asarray(np.repeat(np.eye(g, dtype=np.float32), c // g, axis=0))  # (C, G)
+        xf32sum = jnp.sum(x.astype(jnp.float32), axis=spatial)            # (B, C)
+        xf32sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial)  # (B, C)
+        sum_g = xf32sum @ onehot   # (B, G)
+        sq_g = xf32sq @ onehot
+        mean_g = sum_g / n_per_group
+        var_g = jnp.maximum(sq_g / n_per_group - mean_g * mean_g, 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.eps)
+        # broadcast group stats back to channels and fold the affine in
+        mean_c = mean_g @ onehot.T  # (B, C)
+        inv_c = inv_g @ onehot.T
+        w = inv_c * scale[None]
+        b = bias[None] - mean_c * w
+        expand = (slice(None),) + (None,) * len(spatial) + (slice(None),)
+        out = x.astype(jnp.float32) * w[expand] + b[expand]
         return out.astype(orig_dtype)
 
 

@@ -90,8 +90,31 @@ def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's {kernel, bias} layout so the
+    torch checkpoint converter stays unchanged."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+             if self.use_bias else jnp.zeros((self.features,), jnp.float32))
+        return k, b
+
+
 class WindowAttention(nn.Module):
-    """W-MSA/SW-MSA over flattened windows (swin_transformer.py:65-161)."""
+    """W-MSA/SW-MSA over flattened windows (swin_transformer.py:65-161).
+
+    Two execution paths sharing one parameter set:
+      * `use_pallas=None` (auto) picks the fused Pallas TPU kernel
+        (ops/swin_attention_pallas.py) on TPU — qkv proj, biased softmax and
+        output proj in one VMEM-resident kernel;
+      * the XLA einsum path everywhere else (and for parity tests).
+    """
 
     dim: int
     window_size: int
@@ -99,13 +122,16 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: float | None = None
     dtype: Dtype = jnp.float32
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        from ..ops.swin_attention_pallas import (fused_window_attention,
+                                                 pallas_available,
+                                                 xla_window_attention)
+
         b_, n, c = x.shape
         nh = self.num_heads
-        hd = c // nh
-        scale = self.qk_scale or hd**-0.5
 
         table = self.param(
             "relative_position_bias_table",
@@ -113,24 +139,30 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size - 1) ** 2, nh),
             jnp.float32,
         )
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+        wqkv, bqkv = _DenseParams(3 * c, use_bias=self.qkv_bias, name="qkv")(c)
+        wproj, bproj = _DenseParams(c, name="proj")(c)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+        # combined additive term: rel-pos bias (+ shifted-window mask)
         idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
-        bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
-
+        bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
         if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(-1, nh, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            bias_mask = bias[None] + mask[:, None]  # (nW, nh, N, N)
+        else:
+            bias_mask = bias[None]  # (1, nh, N, N)
+        if self.qk_scale is not None:
+            # fold a custom qk scale into q via the kernel's hd**-0.5 default
+            ratio = self.qk_scale / ((c // nh) ** -0.5)
+            wqkv = wqkv.at[:, :c].multiply(ratio)
+            if self.qkv_bias:
+                bqkv = bqkv.at[:c].multiply(ratio)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_available()
+        fn = fused_window_attention if use_pallas else xla_window_attention
+        return fn(x, wqkv.astype(self.dtype), bqkv.astype(self.dtype),
+                  wproj.astype(self.dtype), bproj.astype(self.dtype),
+                  bias_mask.astype(jnp.float32), nh)
 
 
 class SwinTransformerBlock(nn.Module):

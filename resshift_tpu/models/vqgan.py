@@ -26,8 +26,12 @@ import jax.numpy as jnp
 Dtype = jnp.dtype
 
 
+from .layers import GroupNorm32
+
+
 def _norm(name: str):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name=name)
+    # LDM's Normalize: GroupNorm(32, eps=1e-6) computed in f32 (model.py:46-47)
+    return GroupNorm32(eps=1e-6, name=name)
 
 
 class ResnetBlock(nn.Module):
@@ -39,10 +43,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         out_ch = self.out_channels or self.in_channels
-        h = _norm("norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        h = _norm("norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = _norm("norm2")(h.astype(jnp.float32)).astype(self.dtype)
+        h = _norm("norm2")(h)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -81,13 +85,17 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        hn = _norm("norm")(x.astype(jnp.float32)).astype(self.dtype)
+        hn = _norm("norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, h * w, c)
 
         n = h * w
-        if n > self.chunk_threshold:
+        from ..ops.flash_attention_pallas import flash_attention_1h, flash_available
+
+        if flash_available(n, c) and n >= 512:
+            out = flash_attention_1h(q, k, v)
+        elif n > self.chunk_threshold:
             out = _chunked_attention(q, k, v, chunk=4096)
         else:
             attn = jnp.einsum("bqc,bkc->bqk", q * (c**-0.5), k)
@@ -172,7 +180,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
                         dtype=self.dtype, name="mid_block2")(h)
 
-        h = _norm("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
+        h = _norm("norm_out")(h)
         h = nn.silu(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
@@ -224,7 +232,7 @@ class Decoder(nn.Module):
                              name=f"up{i_level}_upsample")(h)
                 curr_res *= 2
 
-        h = _norm("norm_out")(h.astype(jnp.float32)).astype(self.dtype)
+        h = _norm("norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return jnp.tanh(h) if self.tanh_out else h

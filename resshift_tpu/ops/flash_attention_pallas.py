@@ -1,0 +1,103 @@
+"""Single-head flash attention — Pallas TPU kernel for the VQGAN bottleneck.
+
+The LDM autoencoder keeps one full self-attention block at its lowest
+resolution even with `attn_resolutions: []` (ldm/modules/diffusionmodules/
+model.py:505-509,594-600; the reference needs xformers for this at scale).
+At the bench operating point that is N=4096 tokens x C=512 per image: the
+XLA path materializes (B, N, N) f32 score tensors (~4.3 GB at B=64) — pure
+HBM burn.  This kernel computes an online-softmax over K/V chunks held in
+VMEM, so scores never touch HBM.
+
+Scope: K/V for one sample must fit VMEM (N <= ~8192 at C=512).  Larger
+token counts (512-px chopped inference -> N=262144) use the query-chunked
+XLA fallback in models/vqgan.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+from .swin_attention_pallas import pallas_available
+
+__all__ = ["flash_attention_1h", "flash_available"]
+
+_BQ = 512   # query block
+_BK = 1024  # key/value chunk
+
+
+def flash_available(n: int, c: int) -> bool:
+    # K + V (bf16) plus working set must fit comfortably in ~16MB VMEM
+    return pallas_available() and (2 * n * c * 2) <= 8 * 1024 * 1024
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk: int):
+    """Grid (B, NQ, NK): K-chunks stream as pipelined blocks; the online-
+    softmax state (m, l, acc) lives in VMEM scratch across the NK steps."""
+    j = pl.program_id(2)
+    q = q_ref[0]  # (BQ, C)
+    c = q.shape[-1]
+    scale = c**-0.5
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def flash_attention_1h(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(C)) v for (B, N, C) single-head tensors."""
+    b, n, c = q.shape
+    bq = min(_BQ, n)
+    bk = min(_BK, n)
+    assert n % bq == 0 and n % bk == 0, (n, bq, bk)
+    nk = n // bk
+
+    return pl.pallas_call(
+        functools.partial(_kernel, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
+        grid=(b, n // bq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, c), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, c), jnp.float32),
+        ],
+    )(q, k, v)
