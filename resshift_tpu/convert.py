@@ -189,6 +189,85 @@ def convert_unet_swin(
     return unflatten_dict(flat)
 
 
+def _map_global_attn(flat, sd, t: str, f: tuple[str, ...]):
+    """AttentionBlock (unet.py:224-263): norm + 1-D qkv/proj convs."""
+    _emit(flat, sd, f"{t}.norm", f + ("norm",), "gn")
+    # Conv1d weight (out, in, 1) -> Dense (in, out)
+    for tname, fname in (("qkv", "qkv"), ("proj_out", "proj_out")):
+        w = _np(sd[f"{t}.{tname}.weight"])[:, :, 0].T
+        flat[f + (fname, "kernel")] = w
+        flat[f + (fname, "bias")] = _np(sd[f"{t}.{tname}.bias"])
+
+
+def convert_unet_plain(
+    sd: Mapping[str, Any],
+    *,
+    image_size: int = 64,
+    channel_mult: Iterable[int] = (1, 2, 4, 8),
+    num_res_blocks: Iterable[int] | int = 2,
+    attention_resolutions: Iterable[int] = (32, 16, 8),
+    num_classes: int | None = None,
+    resblock_updown: bool = False,
+) -> dict:
+    """torch UNetModel (guided-diffusion variant, unet.py:346-601)
+    state_dict -> flax params for models.unet_variants.UNetModel."""
+    sd = _strip_prefixes(sd)
+    channel_mult = list(channel_mult)
+    nrb = ([num_res_blocks] * len(channel_mult)
+           if isinstance(num_res_blocks, int) else list(num_res_blocks))
+    attn = set(attention_resolutions)
+    flat: dict[tuple[str, ...], np.ndarray] = {}
+
+    _emit(flat, sd, "time_embed.0", ("time_embed_0",), "linear")
+    _emit(flat, sd, "time_embed.2", ("time_embed_2",), "linear")
+    if num_classes is not None:
+        flat[("label_emb", "embedding")] = _np(sd["label_emb.weight"])
+    _emit(flat, sd, "input_blocks.0.0", ("conv_in",), "conv")
+
+    n = 1
+    ds = image_size
+    for level in range(len(channel_mult)):
+        for jj in range(nrb[level]):
+            _map_resblock(flat, sd, f"input_blocks.{n}.0", (f"in_l{level}_b{jj}_res",))
+            if ds in attn:
+                _map_global_attn(flat, sd, f"input_blocks.{n}.1",
+                                 (f"in_l{level}_b{jj}_attn",))
+            n += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                _map_resblock(flat, sd, f"input_blocks.{n}.0", (f"in_l{level}_down",))
+            else:
+                _emit(flat, sd, f"input_blocks.{n}.0.op", (f"in_l{level}_down", "op"), "conv")
+            n += 1
+            ds //= 2
+
+    _map_resblock(flat, sd, "middle_block.0", ("mid_res0",))
+    _map_global_attn(flat, sd, "middle_block.1", ("mid_attn",))
+    _map_resblock(flat, sd, "middle_block.2", ("mid_res1",))
+
+    n = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(nrb[level] + 1):
+            _map_resblock(flat, sd, f"output_blocks.{n}.0", (f"out_l{level}_b{i}_res",))
+            j = 1
+            if ds in attn:
+                _map_global_attn(flat, sd, f"output_blocks.{n}.{j}",
+                                 (f"out_l{level}_b{i}_attn",))
+                j += 1
+            if level and i == nrb[level]:
+                if resblock_updown:
+                    _map_resblock(flat, sd, f"output_blocks.{n}.{j}", (f"out_l{level}_up",))
+                else:
+                    _emit(flat, sd, f"output_blocks.{n}.{j}.conv",
+                          (f"out_l{level}_up", "conv"), "conv")
+                ds *= 2
+            n += 1
+
+    _emit(flat, sd, "out.0", ("out_norm",), "gn")
+    _emit(flat, sd, "out.2", ("out_conv",), "conv")
+    return unflatten_dict(flat)
+
+
 # ------------------------------------------------------------------- VQGAN
 
 def _map_ae_resnet(flat, sd, t: str, f: tuple[str, ...]):

@@ -1,4 +1,6 @@
 from .schedule import Schedule, build_schedule, exponential_sqrt_etas, space_timesteps
-from . import resshift
+from .ddpm import DDPMSchedule, build_ddpm_schedule
+from . import ddpm, losses, resshift
 
-__all__ = ["Schedule", "build_schedule", "exponential_sqrt_etas", "space_timesteps", "resshift"]
+__all__ = ["Schedule", "build_schedule", "exponential_sqrt_etas", "space_timesteps",
+           "DDPMSchedule", "build_ddpm_schedule", "ddpm", "losses", "resshift"]

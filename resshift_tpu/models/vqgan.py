@@ -265,6 +265,60 @@ class VectorQuantizer(nn.Module):
         return z_q.astype(z.dtype)
 
 
+class AutoencoderKL(nn.Module):
+    """KL-regularized autoencoder (ldm/models/autoencoder.py:52-86
+    AutoencoderKLTorch): encode -> (mean, logvar) moments -> sample/mode."""
+
+    ddconfig: dict
+    embed_dim: int = 4
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(self.ddconfig)
+        dd.pop("double_z", None)
+        dd.pop("padding_mode", None)
+        out_ch = dd.pop("out_ch", 3)
+        in_channels = dd.pop("in_channels", 3)
+        self.encoder = Encoder(in_channels=in_channels, double_z=True,
+                               dtype=self.dtype, **dd)
+        self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype, **dd)
+        self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype,
+                                  name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.ddconfig["z_channels"], (1, 1),
+                                       dtype=self.dtype, name="post_quant_conv")
+
+    def encode(self, x, key=None, sample_posterior=True, return_moments=False):
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        if sample_posterior and key is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, dtype=jnp.float32).astype(mean.dtype)
+        else:
+            z = mean  # mode (distributions.py:24-62)
+        return (z, moments) if return_moments else z
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, key=None):
+        return self.decode(self.encode(x, key))
+
+
+class IdentityFirstStage(nn.Module):
+    """No-op first stage (ldm/models/autoencoder.py:114-131) — pixel-space
+    diffusion (latent_flag: False configs)."""
+
+    def encode(self, x):
+        return x
+
+    def decode(self, x):
+        return x
+
+    def __call__(self, x):
+        return x
+
+
 class VQModel(nn.Module):
     """VQModelTorch equivalent (ldm/models/autoencoder.py:12-50): encode
     returns the pre-quantization latent; decode quantizes first."""
