@@ -366,6 +366,89 @@ class GFPGANData:
         return out
 
 
+class BSRGANData:
+    """BSRGAN-light degraded pairs (datapipe/datasets.py:208-344
+    BSRGANLightDeg[ImageNet]): HQ crop -> shuffled degradation chain."""
+
+    def __init__(self, dir_path=None, txt_file_path=None, sf=4, gt_size=256,
+                 use_sharp=False, mean=0.5, std=0.5, length=None, need_path=False,
+                 im_exts="png", recursive=False, seed=0, **_):
+        self.rng = np.random.default_rng(seed)
+        self.paths = _collect_paths(dir_path=dir_path, txt_file_path=txt_file_path,
+                                    recursive=recursive, length=length, rng=self.rng)
+        self.sf, self.gt_size, self.use_sharp = sf, gt_size, use_sharp
+        self.mean, self.std = mean, std
+        self.need_path = need_path
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        from .bsrgan import degradation_bsrgan_light
+
+        rng = self.rng
+        im = imread(self.paths[i])
+        h, w = im.shape[:2]
+        if min(h, w) < self.gt_size:
+            s = self.gt_size / min(h, w)
+            im = resize_np(im, (max(self.gt_size, round(h * s)),
+                                max(self.gt_size, round(w * s))), "bicubic_torch")
+            h, w = im.shape[:2]
+        top = int(rng.integers(0, h - self.gt_size + 1))
+        left = int(rng.integers(0, w - self.gt_size + 1))
+        im = np.ascontiguousarray(im[top:top + self.gt_size, left:left + self.gt_size])
+        lq, gt = degradation_bsrgan_light(rng, im, sf=self.sf, use_sharp=self.use_sharp)
+        out = {"gt": _normalize(gt, self.mean, self.std),
+               "lq": _normalize(np.clip(lq, 0, 1), self.mean, self.std)}
+        if self.need_path:
+            out["path"] = str(self.paths[i])
+        return out
+
+
+class SIDDValData:
+    """Paired noisy/clean validation data (datapipe/datasets.py:345-369)."""
+
+    def __init__(self, noisy_path, gt_path, mean=0.5, std=0.5, **_):
+        self.noisy = sorted(list_images(noisy_path))
+        self.gt = sorted(list_images(gt_path))
+        assert len(self.noisy) == len(self.gt)
+        self.mean, self.std = mean, std
+
+    def __len__(self):
+        return len(self.noisy)
+
+    def __getitem__(self, i):
+        return {"lq": _normalize(imread(self.noisy[i]), self.mean, self.std),
+                "gt": _normalize(imread(self.gt[i]), self.mean, self.std)}
+
+
+class DegradedDataFromSource:
+    """Generic source -> (gt, lq) dataset with a caller-provided degrade fn
+    (datapipe/datasets.py:480-523)."""
+
+    def __init__(self, source_path=None, source_txt_path=None, degrade_fn=None,
+                 mean=0.5, std=0.5, length=None, need_path=False, im_exts="png",
+                 recursive=False, seed=0, **_):
+        self.rng = np.random.default_rng(seed)
+        self.paths = _collect_paths(dir_path=source_path, txt_file_path=source_txt_path,
+                                    recursive=recursive, length=length, rng=self.rng)
+        self.degrade_fn = degrade_fn or (lambda rng, im: (im, im))
+        self.mean, self.std = mean, std
+        self.need_path = need_path
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        im = imread(self.paths[i])
+        lq, gt = self.degrade_fn(self.rng, im)
+        out = {"gt": _normalize(gt, self.mean, self.std),
+               "lq": _normalize(lq, self.mean, self.std)}
+        if self.need_path:
+            out["path"] = str(self.paths[i])
+        return out
+
+
 _FACTORY: dict[str, Any] = {
     "base": BaseData,
     "realesrgan": RealESRGANData,
@@ -373,6 +456,10 @@ _FACTORY: dict[str, Any] = {
     "inpainting": InpaintingData,
     "inpainting_val": InpaintingValData,
     "gfpgan": GFPGANData,
+    "bsrgan": BSRGANData,
+    "bsrganimagenet": BSRGANData,
+    "siddval": SIDDValData,
+    "deg_from_source": DegradedDataFromSource,
 }
 
 

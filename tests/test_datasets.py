@@ -126,3 +126,47 @@ def test_face_degradation_testing():
     assert lq.shape == im.shape
     assert 0 <= lq.min() and lq.max() <= 1
     assert np.abs(lq - im).mean() > 0.005  # actually degraded
+
+
+def test_bsrgan_light_degradation():
+    from resshift_tpu.data.bsrgan import degradation_bsrgan_light
+
+    rng = np.random.default_rng(11)
+    im = imread(sorted(__import__('pathlib').Path(f"{TD}/Bicubicx4/gt").glob("*.png"))[0])
+    for _ in range(5):  # exercise several shuffled orders
+        lq, gt = degradation_bsrgan_light(rng, im, sf=4)
+        assert gt.shape == im.shape
+        assert lq.shape[0] == im.shape[0] // 4 and lq.shape[1] == im.shape[1] // 4
+        assert np.isfinite(lq).all() and 0 <= lq.min() and lq.max() <= 1
+
+
+def test_bsrgan_dataset_and_factory():
+    ds = create_dataset({"type": "bsrgan", "params": {
+        "dir_path": f"{TD}/Bicubicx4/gt", "sf": 4, "gt_size": 128,
+        "transform_kwargs": {"mean": 0.5, "std": 0.5}}})
+    item = ds[0]
+    assert item["gt"].shape == (128, 128, 3)
+    assert item["lq"].shape == (32, 32, 3)
+
+
+def test_deg_from_source():
+    from resshift_tpu.data.datasets import DegradedDataFromSource
+
+    ds = DegradedDataFromSource(
+        source_path=f"{TD}/Bicubicx4/gt",
+        degrade_fn=lambda rng, im: (im[::4, ::4], im))
+    item = ds[0]
+    assert item["gt"].shape[0] == item["lq"].shape[0] * 4
+
+
+def test_prepare_testing_scripts(tmp_path):
+    from resshift_tpu import scripts
+
+    scripts.prepare_testing_celeba_faceir(
+        f"{TD}/Bicubicx4/gt", str(tmp_path / "faceir"), sf=4, num_images=2, seed=0)
+    assert len(list((tmp_path / "faceir" / "lq").glob("*.png"))) == 2
+    assert len(list((tmp_path / "faceir" / "gt").glob("*.png"))) == 2
+
+    scripts.prepare_testing_imagenet_sr(
+        f"{TD}/Bicubicx4/gt", str(tmp_path / "sr"), num_images=2, seed=0)
+    assert len(list((tmp_path / "sr" / "lq").glob("*.png"))) == 2
