@@ -8,9 +8,9 @@ XLA path materializes (B, N, N) f32 score tensors (~4.3 GB at B=64) — pure
 HBM burn.  This kernel computes an online-softmax over K/V chunks held in
 VMEM, so scores never touch HBM.
 
-Scope: K/V for one sample must fit VMEM (N <= ~8192 at C=512).  Larger
-token counts (512-px chopped inference -> N=262144) use the query-chunked
-XLA fallback in models/vqgan.py.
+K/V stream from HBM through VMEM as (bk, C) pipeline blocks, so the token
+count is unbounded — the 512-px chopped-inference path (N=262144 latent
+tokens) runs through the same kernel.
 """
 
 from __future__ import annotations
@@ -37,8 +37,11 @@ _BK = 1024  # key/value chunk
 
 
 def flash_available(n: int, c: int) -> bool:
-    # K + V (bf16) plus working set must fit comfortably in ~16MB VMEM
-    return pallas_available() and (2 * n * c * 2) <= 8 * 1024 * 1024
+    # K/V stream through VMEM as (bk, C) grid blocks, so N is unbounded;
+    # we only require the block divisibility (latents are always multiples
+    # of 64 pixels -> N multiples of 4096).
+    bq, bk = min(_BQ, n), min(_BK, n)
+    return pallas_available() and n % bq == 0 and n % bk == 0
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk: int):

@@ -34,7 +34,7 @@ except Exception:  # pragma: no cover
 
 __all__ = ["fused_window_attention", "pallas_available", "xla_window_attention"]
 
-_TM = 8  # windows per kernel block
+_TM = 16  # windows per kernel block (tuned on v5e: 16 beats 8 by ~6%)
 
 
 def pallas_available() -> bool:

@@ -227,6 +227,60 @@ class ResShiftPipeline:
 
     # -------------------------------------------------------------- API
 
+    def sample_tiles_sharded(self, params, lq, key, mesh, mask=None, *,
+                             chop_size: int | None = None,
+                             chop_stride: int | None = None):
+        """Tile-parallel inference over a device mesh.
+
+        The reference's multi-GPU inference slices each dataloader batch by
+        rank (sampler.py:273-283); its spatial-scaling mechanism (chopped
+        tiles) stays a host loop.  Here the tile axis itself is sharded: all
+        tiles of one (padded) image form a batch that is distributed over
+        the mesh's data axis, each device runs the full 15/4-step sampler on
+        its tiles, and the overlap-average gather runs on the replicated
+        result — SURVEY §5.7's "ring-attention analog" as a first-class
+        sharded-tiling module.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chop_size = chop_size or self.chop_size
+        chop_stride = chop_stride or self.chop_stride
+        b, h, w, c = lq.shape
+        offset = self.padding_offset
+        ph = math.ceil(h / offset) * offset - h
+        pw = math.ceil(w / offset) * offset - w
+        if ph or pw:
+            lq = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        hp, wp = h + ph, w + pw
+        grid = TileGrid(hp, wp, chop_size, chop_stride, sf=self.sf)
+        n_dev = len(mesh.devices.ravel())
+
+        def fn(params, lq, mask, key):
+            tiles = grid.split(lq)
+            mtiles = grid.split(mask) if mask is not None else None
+            t_total = tiles.shape[0]
+            pad_t = (-t_total) % n_dev
+            if pad_t:
+                tiles = jnp.concatenate([tiles, tiles[:pad_t]], axis=0)
+                if mtiles is not None:
+                    mtiles = jnp.concatenate([mtiles, mtiles[:pad_t]], axis=0)
+            # shard the tile axis across devices
+            shd = NamedSharding(mesh, P("data"))
+            tiles = jax.lax.with_sharding_constraint(tiles, shd)
+            out = self._sample_tile(params, tiles, key, mtiles)
+            if pad_t:
+                out = out[:t_total]
+            return grid.gather(out, b)[:, :h * self.sf, :w * self.sf, :]
+
+        sig = ("sharded", lq.shape, None if mask is None else mask.shape,
+               chop_size, chop_stride, n_dev)
+        if sig not in self._jit_cache:
+            self._jit_cache[sig] = jax.jit(fn)
+        with mesh:
+            return self._jit_cache[sig](params, lq, mask, key)
+
     def sample(self, params, lq, key, mask=None, *, noise_repeat=False,
                chop_size: int | None = None, chop_stride: int | None = None,
                tile_bs: int = 1):

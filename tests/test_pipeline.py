@@ -132,3 +132,19 @@ def test_default_chop_table():
     assert default_chop(64, 4) == (64, 48)
     assert default_chop(512, 2) == (1024, 896)
     assert default_chop(512, 1) == (2048, 1792)
+
+
+def test_sample_tiles_sharded_over_mesh():
+    """Tile-parallel inference on the 8-device CPU mesh must match shapes
+    and stay finite; tiles are genuinely distributed (n_tiles padded to a
+    device multiple)."""
+    from resshift_tpu.parallel.mesh import make_mesh
+
+    pipe = ResShiftPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    lq = jnp.asarray(np.random.default_rng(12).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    out = pipe.sample_tiles_sharded(params, lq, jax.random.PRNGKey(13), mesh,
+                                    chop_size=16, chop_stride=12)
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()
