@@ -194,11 +194,14 @@ def sample_loop(
     clip_denoised: bool = True,
     model_kwargs: dict[str, Any] | None = None,
     noise_repeat: bool = False,
+    step_noise: jnp.ndarray | None = None,
 ):
     """Full reverse chain as one `lax.scan` over t = T-1 .. 0.
 
     `z_y` is the (latent) encoded LQ; returns the final latent x_0 sample.
     Replaces the reference's host loop (gaussian_diffusion.py:421-472).
+    `step_noise` (T, B, ...) optionally fixes the per-step Gaussian draws —
+    used for bit-comparability tests against the reference.
     """
     key, prior_key = jax.random.split(key)
     if noise is None:
@@ -209,15 +212,25 @@ def sample_loop(
     step_keys = jax.random.split(key, sched.num_timesteps)
 
     def step(x, inputs):
-        t, k = inputs
-        x_next, _ = p_sample(
-            sched, model_fn, x, z_y, t, k,
-            clip_denoised=clip_denoised, model_kwargs=model_kwargs,
-            noise_repeat=noise_repeat,
-        )
+        if step_noise is None:
+            t, k = inputs
+            x_next, _ = p_sample(
+                sched, model_fn, x, z_y, t, k,
+                clip_denoised=clip_denoised, model_kwargs=model_kwargs,
+                noise_repeat=noise_repeat,
+            )
+        else:
+            t, eps = inputs
+            out = p_mean_variance(sched, model_fn, x, z_y, t,
+                                  clip_denoised=clip_denoised,
+                                  model_kwargs=model_kwargs)
+            t_vec = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
+            nz = (t_vec != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+            x_next = out.mean + nz * jnp.exp(0.5 * out.log_variance) * eps
         return x_next, ()
 
-    x0, _ = jax.lax.scan(step, x_T, (ts, step_keys))
+    xs = (ts, step_keys) if step_noise is None else (ts, step_noise)
+    x0, _ = jax.lax.scan(step, x_T, xs)
     return x0
 
 

@@ -144,7 +144,8 @@ class WindowAttention(nn.Module):
 
         # combined additive term: rel-pos bias (+ shifted-window mask)
         idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
-        bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
+        bias = jnp.take(jnp.asarray(table), idx, axis=0)
+        bias = bias.reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
         if mask is not None:
             bias_mask = bias[None] + mask[:, None]  # (nW, nh, N, N)
         else:
