@@ -15,11 +15,17 @@ files; the release URLs are printed for out-of-band download.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# allow the host CPU backend alongside an accelerator-only platform setting
+# (cheap param init / preprocessing on host; jax is imported lazily below)
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
 
 
 def _build_pipeline(args):
@@ -59,13 +65,23 @@ def _load_params(pipe, args):
     print(f"WARNING: no --ckpt given; using RANDOM weights (demo/benchmark only).\n"
           f"Download the released checkpoints out-of-band:\n  unet:  {urls[0] if urls else '?'}\n"
           f"  vqgan: {urls[1] if urls else '?'}", file=sys.stderr)
+    # init on host CPU: random weights only need to exist; compiling the
+    # initializers for the accelerator wastes minutes of remote-compile
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.devices()[0].platform != "cpu":
+        with jax.default_device(cpu):
+            params = pipe.init_params(jax.random.PRNGKey(args.seed))
+        return jax.device_put(params, jax.devices()[0])
     return pipe.init_params(jax.random.PRNGKey(args.seed))
 
 
 def cmd_infer(args):
     import jax
 
-    from .ops.metrics import batch_psnr, batch_ssim
+    from .parallel.mesh import make_mesh
     from .utils.image_io import from_model, imread, imwrite, list_images, to_model
 
     pipe = _build_pipeline(args)
@@ -76,51 +92,215 @@ def cmd_infer(args):
     out_path = Path(args.out_path)
     out_path.mkdir(parents=True, exist_ok=True)
     files = list_images(in_path) if in_path.is_dir() else [in_path]
-    print(f"Found {len(files)} image(s) in {in_path}")
+    # multi-process folder sharding (replaces the reference's per-rank batch
+    # slicing, sampler.py:273-283)
+    files = files[jax.process_index()::jax.process_count()]
+    print(f"Found {len(files)} image(s) in {in_path} "
+          f"(process {jax.process_index()}/{jax.process_count()})")
 
     mask_files = None
     if args.mask_path:
         mp = Path(args.mask_path)
         mask_files = {f.stem: f for f in (list_images(mp) if mp.is_dir() else [mp])}
 
-    t_total, px_total = 0.0, 0
-    for i, f in enumerate(files):
-        im = imread(f)
-        lq = to_model(im)
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    bs = max(1, args.bs)
+
+    # group same-shape images into batches of `bs` so each forward runs a
+    # full batch (reference: DataLoader(bs), sampler.py:267-283)
+    def batches():
+        pend: dict[tuple, list] = {}
+        for f in files:
+            im = imread(f)
+            sh = im.shape
+            pend.setdefault(sh, []).append((f, im))
+            if len(pend[sh]) == bs:
+                yield pend.pop(sh)
+        yield from pend.values()
+
+    t_total, px_total, n_done = 0.0, 0, 0
+    for group in batches():
+        ims = [im for _, im in group]
+        lq = np.concatenate([to_model(im) for im in ims], axis=0)
         mask = None
         if mask_files is not None:
-            mf = mask_files.get(f.stem) or next(iter(mask_files.values()))
-            mask = to_model(imread(mf, chn="gray"))
-        k = jax.random.fold_in(key, i)
+            ms = []
+            for f, _ in group:
+                mf = mask_files.get(f.stem) or next(iter(mask_files.values()))
+                ms.append(to_model(imread(mf, chn="gray")))
+            mask = np.concatenate(ms, axis=0)
+        k = jax.random.fold_in(key, n_done)
         t0 = time.perf_counter()
-        sr = pipe.sample(params, lq, k, mask=mask, noise_repeat=args.noise_repeat,
-                         tile_bs=args.chop_bs)
+        if n_dev > 1 and lq.shape[0] > 1:
+            # shard the image batch over the mesh's data axis
+            sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh,
+                                           mask=None if mask is None else jax.numpy.asarray(mask),
+                                           noise_repeat=args.noise_repeat,
+                                           tile_bs=args.chop_bs)
+        elif n_dev > 1 and (lq.shape[1] > pipe.chop_size or lq.shape[2] > pipe.chop_size):
+            # single big image: shard its tile grid over the mesh
+            sr = pipe.sample_tiles_sharded(params, jax.numpy.asarray(lq), k, mesh,
+                                           mask=None if mask is None else jax.numpy.asarray(mask))
+        else:
+            sr = pipe.sample(params, lq, k, mask=mask,
+                             noise_repeat=args.noise_repeat, tile_bs=args.chop_bs)
         sr = np.asarray(sr)
         dt = time.perf_counter() - t0
         t_total += dt
-        px_total += sr.shape[1] * sr.shape[2]
-        sr01 = from_model(sr)[0]
-        if mask is not None and args.mask_back:
-            m01 = np.asarray(mask)[0] * 0.5 + 0.5
-            sr01 = sr01 * m01 + (im[..., :3] * (1 - m01))
-        imwrite(sr01, out_path / f"{f.stem}.png")
-        print(f"[{i + 1}/{len(files)}] {f.name}: {sr.shape[2]}x{sr.shape[1]} in {dt:.2f}s")
+        px_total += sr.shape[0] * sr.shape[1] * sr.shape[2]
+        for j, (f, im) in enumerate(group):
+            sr01 = from_model(sr[j:j + 1])[0]
+            if mask is not None and args.mask_back:
+                m01 = np.asarray(mask)[j] * 0.5 + 0.5
+                sr01 = sr01 * m01 + (im[..., :3] * (1 - m01))
+            imwrite(sr01, out_path / f"{f.stem}.png")
+        n_done += len(group)
+        print(f"[{n_done}/{len(files)}] batch of {len(group)}: "
+              f"{sr.shape[2]}x{sr.shape[1]} in {dt:.2f}s")
 
     print(f"Done: {px_total / max(t_total, 1e-9) / 1e6:.3f} Mpx/s -> {out_path}")
 
     if args.gt_path:
-        gts = {f.stem: f for f in list_images(Path(args.gt_path))}
-        psnr = ssim = n = 0
-        for f in files:
-            if f.stem not in gts:
-                continue
-            sr = imread(out_path / f"{f.stem}.png")[None]
-            gt = imread(gts[f.stem])[None]
-            psnr += batch_psnr(sr, gt, ycbcr=True)
-            ssim += batch_ssim(sr, gt, ycbcr=True)
-            n += 1
-        if n:
-            print(f"PSNR(Y): {psnr / n:.2f} dB  SSIM(Y): {ssim / n:.4f}  ({n} images)")
+        report_metrics(files, out_path, Path(args.gt_path),
+                       lpips_path=getattr(args, "lpips_path", None))
+
+
+def report_metrics(files, sr_dir: Path, gt_dir: Path, lpips_path=None):
+    """PSNR(Y)/SSIM(Y) [+ LPIPS when weights are given] over saved outputs —
+    the reference's eval metrics (utils/util_image.py:17-116,
+    trainer.py:914-923)."""
+    from .ops.metrics import batch_psnr, batch_ssim
+    from .utils.image_io import imread, list_images
+
+    lpips_fn = None
+    if lpips_path:
+        import jax
+        import jax.numpy as jnp
+
+        from .models.lpips import LPIPS, convert_lpips
+
+        model = LPIPS()
+        if str(lpips_path).endswith(".pth"):
+            import torch
+
+            lp = convert_lpips(torch.load(lpips_path, map_location="cpu",
+                                          weights_only=True))
+        else:
+            from .checkpoint import load_params
+
+            lp = load_params(lpips_path)
+        lpips_fn = jax.jit(lambda a, b: model.apply({"params": lp}, a, b))
+
+    gts = {f.stem: f for f in list_images(gt_dir)}
+    psnr = ssim = lpips_sum = 0.0
+    n = 0
+    for f in files:
+        if f.stem not in gts or not (sr_dir / f"{f.stem}.png").exists():
+            continue
+        sr = imread(sr_dir / f"{f.stem}.png")[None]
+        gt = imread(gts[f.stem])[None]
+        psnr += batch_psnr(sr, gt, ycbcr=True)
+        ssim += batch_ssim(sr, gt, ycbcr=True)
+        if lpips_fn is not None:
+            import jax.numpy as jnp
+
+            lpips_sum += float(lpips_fn(jnp.asarray(sr * 2 - 1, jnp.float32),
+                                        jnp.asarray(gt * 2 - 1, jnp.float32))[0])
+        n += 1
+    if n:
+        msg = f"PSNR(Y): {psnr / n:.2f} dB  SSIM(Y): {ssim / n:.4f}"
+        if lpips_fn is not None:
+            msg += f"  LPIPS: {lpips_sum / n:.4f}"
+        print(msg + f"  ({n} images)")
+        return psnr / n, ssim / n, (lpips_sum / n if lpips_fn else None)
+    return None
+
+
+# README reproduce protocols (reference README.md:132-167): the exact
+# chop/stride/bs used for each paper table.
+EVAL_PROTOCOLS = {
+    "imagenet": dict(chop_size=64, chop_stride=64, bs=64),
+    "realset": dict(chop_size=512, chop_stride=448, bs=1),
+}
+
+
+def cmd_eval(args):
+    """One-command paper-protocol evaluation (VERDICT #10): run the exact
+    README reproduce command for a protocol and report PSNR/SSIM/LPIPS."""
+    proto = EVAL_PROTOCOLS[args.protocol]
+    args.bs = proto["bs"]
+    args.chop_size = None  # set explicitly below (no default_chop rescale)
+    args.chop_stride = None
+    args.noise_repeat = False
+    args.mask_path = None
+    args.mask_back = False
+    args.chop_bs = args.chop_bs or 1
+
+    # build pipeline with protocol chop values
+    import jax.numpy as jnp
+
+    from .config import load_yaml_config, task_config
+
+    if args.config:
+        cfg = load_yaml_config(args.config)
+    else:
+        name = args.task if args.task != "realsr" else f"realsr_{args.version}"
+        cfg = task_config(name)
+    cfg["inference"]["chop_size"] = proto["chop_size"]
+    cfg["inference"]["chop_stride"] = proto["chop_stride"]
+
+    from .pipeline import ResShiftPipeline
+
+    pipe = ResShiftPipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    params = _load_params(pipe, args)
+
+    import types
+
+    iargs = types.SimpleNamespace(**vars(args))
+    iargs.__dict__.update(proto)
+
+    # run folder inference with the protocol settings
+    _run_eval_inference(pipe, params, iargs)
+
+
+def _run_eval_inference(pipe, params, args):
+    import jax
+
+    from .utils.image_io import from_model, imread, imwrite, list_images, to_model
+
+    in_path, out_path = Path(args.in_path), Path(args.out_path)
+    out_path.mkdir(parents=True, exist_ok=True)
+    files = list_images(in_path) if in_path.is_dir() else [in_path]
+    key = jax.random.PRNGKey(args.seed)
+    bs = args.bs
+    t0 = time.perf_counter()
+    batch, names = [], []
+    done = 0
+
+    def flush():
+        nonlocal batch, names, done
+        if not batch:
+            return
+        lq = np.concatenate(batch, axis=0)
+        sr = np.asarray(pipe.sample(params, lq, jax.random.fold_in(key, done)))
+        for j, f in enumerate(names):
+            imwrite(from_model(sr[j:j + 1])[0], out_path / f"{f.stem}.png")
+        done += len(names)
+        print(f"[{done}/{len(files)}]", flush=True)
+        batch, names = [], []
+
+    for f in files:
+        batch.append(to_model(imread(f)))
+        names.append(f)
+        if len(batch) == bs:
+            flush()
+    flush()
+    dt = time.perf_counter() - t0
+    print(f"Protocol {args.protocol}: {len(files)} images in {dt:.1f}s")
+    if args.gt_path:
+        report_metrics(files, out_path, Path(args.gt_path),
+                       lpips_path=getattr(args, "lpips_path", None))
 
 
 def cmd_train(args):
@@ -171,6 +351,7 @@ def make_parser() -> argparse.ArgumentParser:
     pi.add_argument("--in-path", required=True)
     pi.add_argument("--out-path", required=True)
     pi.add_argument("--gt-path", default=None, help="GT folder for PSNR/SSIM report")
+    pi.add_argument("--lpips-path", default=None, help="LPIPS weights for the metric report")
     pi.add_argument("--mask-path", default=None, help="inpainting mask (file or folder)")
     pi.add_argument("--mask-back", action="store_true", default=True)
     pi.add_argument("--chop-size", type=int, default=None, choices=[512, 256, 64])
@@ -179,6 +360,17 @@ def make_parser() -> argparse.ArgumentParser:
     pi.add_argument("--bs", type=int, default=1)
     pi.add_argument("--noise-repeat", action="store_true")
     pi.set_defaults(fn=cmd_infer)
+
+    pe = sub.add_parser("eval", help="README reproduce protocols "
+                        "(imagenet: chop64/stride64/bs64; realset: chop512/stride448)")
+    common(pe)
+    pe.add_argument("--protocol", required=True, choices=sorted(EVAL_PROTOCOLS))
+    pe.add_argument("--in-path", required=True)
+    pe.add_argument("--out-path", required=True)
+    pe.add_argument("--gt-path", default=None)
+    pe.add_argument("--lpips-path", default=None)
+    pe.add_argument("--chop-bs", type=int, default=1)
+    pe.set_defaults(fn=cmd_eval)
 
     pc = sub.add_parser("convert", help="torch .pth -> native checkpoint")
     common(pc)

@@ -264,7 +264,8 @@ class InpaintingData:
 
     def __init__(self, dir_path=None, txt_file_path=None, mask_kwargs=None,
                  pch_size=256, mean=0.5, std=0.5, length=None, need_path=False,
-                 im_exts="png", recursive=False, seed=0, **_):
+                 im_exts="png", recursive=False, seed=0,
+                 transform_type="lama_distortions", **_):
         self.rng = np.random.default_rng(seed)
         self.paths = _collect_paths(dir_path=dir_path, txt_file_path=txt_file_path,
                                     recursive=recursive, length=length, rng=self.rng)
@@ -273,6 +274,12 @@ class InpaintingData:
         self.mean, self.std = mean, std
         self.need_path = need_path
         self.iter_i = 0
+        if transform_type == "lama_distortions":
+            from .distortions import LamaDistortions
+
+            self.distort = LamaDistortions(pch_size=pch_size)
+        else:  # 'rcrop_aug_norm'-style reduced transform
+            self.distort = None
 
     def __len__(self):
         return len(self.paths)
@@ -280,19 +287,21 @@ class InpaintingData:
     def __getitem__(self, i):
         rng = self.rng
         im = imread(self.paths[i])
-        # reduced lama_distortions transform: random crop + hflip (the
-        # reference's albumentations affine/CLAHE stack is unavailable here)
-        h, w = im.shape[:2]
-        if min(h, w) < self.pch_size:
-            s = self.pch_size / min(h, w)
-            im = resize_np(im, (max(self.pch_size, round(h * s)),
-                                max(self.pch_size, round(w * s))), "bicubic_torch")
+        if self.distort is not None:
+            # full lama_distortions stack (datapipe/datasets.py:22-48)
+            im = self.distort(im, rng)
+        else:
             h, w = im.shape[:2]
-        top = int(rng.integers(0, h - self.pch_size + 1))
-        left = int(rng.integers(0, w - self.pch_size + 1))
-        im = im[top:top + self.pch_size, left:left + self.pch_size]
-        if rng.uniform() < 0.5:
-            im = np.ascontiguousarray(im[:, ::-1])
+            if min(h, w) < self.pch_size:
+                s = self.pch_size / min(h, w)
+                im = resize_np(im, (max(self.pch_size, round(h * s)),
+                                    max(self.pch_size, round(w * s))), "bicubic_torch")
+                h, w = im.shape[:2]
+            top = int(rng.integers(0, h - self.pch_size + 1))
+            left = int(rng.integers(0, w - self.pch_size + 1))
+            im = im[top:top + self.pch_size, left:left + self.pch_size]
+            if rng.uniform() < 0.5:
+                im = np.ascontiguousarray(im[:, ::-1])
         gt = _normalize(im, self.mean, self.std)
         mask = self.mask_gen((self.pch_size, self.pch_size), iter_i=self.iter_i)
         self.iter_i += 1

@@ -60,7 +60,7 @@ def build_ddpm_schedule(
     beta_start: float = 0.0001,
     beta_end: float = 0.02,
     predict_xstart: bool = False,
-    timestep_respacing: int | None = None,
+    timestep_respacing: int | str | list | None = None,
     scale_factor: float = 1.0,
     sf: int = 4,
 ) -> DDPMSchedule:
@@ -70,7 +70,7 @@ def build_ddpm_schedule(
         new_betas = betas
     else:
         # respaced betas via cumprod ratios (models/respace.py:78-89)
-        keep = space_timesteps(steps, int(timestep_respacing))
+        keep = set(space_timesteps(steps, timestep_respacing))
         acp = np.cumprod(1.0 - betas)
         last = 1.0
         new_betas, tmap = [], []

@@ -55,12 +55,43 @@ def linear_betas(steps: int, beta_start: float, beta_end: float) -> np.ndarray:
     return np.linspace(beta_start**0.5, beta_end**0.5, steps, dtype=np.float64) ** 2
 
 
-def space_timesteps(num_timesteps: int, sample_timesteps: int) -> list[int]:
+def space_timesteps(num_timesteps: int,
+                    section_counts: int | str | Sequence[int]) -> list[int]:
     """Subsample timesteps for respacing (models/respace.py:6-18).
+
+    Accepts every form the reference parses:
+      * an int N — one section of N evenly strided steps;
+      * "ddimN" — a fixed DDIM-style stride such that exactly N steps remain;
+      * "a,b,c" or a sequence — per-section counts: the schedule is split
+        into len(counts) near-equal sections and section i keeps counts[i]
+        evenly spaced steps.
 
     Returns the sorted list of retained original-timestep indices.
     """
-    return sorted({int((num_timesteps / sample_timesteps) * x) for x in range(sample_timesteps)})
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            want = int(section_counts[4:])
+            for stride in range(1, num_timesteps):
+                if len(range(0, num_timesteps, stride)) == want:
+                    return sorted(range(0, num_timesteps, stride))
+            raise ValueError(
+                f"no stride gives exactly {want} of {num_timesteps} steps")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    elif isinstance(section_counts, int):
+        section_counts = [section_counts]
+
+    n_sections = len(section_counts)
+    base, extra = divmod(num_timesteps, n_sections)
+    kept: set[int] = set()
+    start = 0
+    for i, count in enumerate(section_counts):
+        size = base + (1 if i < extra else 0)
+        if size < count:
+            raise ValueError(f"section of {size} steps cannot keep {count}")
+        stride = 1.0 if count <= 1 else (size - 1) / (count - 1)
+        kept.update(start + round(stride * j) for j in range(count))
+        start += size
+    return sorted(kept)
 
 
 def _pytree_dataclass(cls):
@@ -120,7 +151,8 @@ def build_schedule(
     kappa: float = 2.0,
     power: float = 0.3,
     predict_type: str = "xstart",
-    timestep_respacing: int | None = None,
+    timestep_respacing: int | str | Sequence[int] | None = None,
+    mat_path: str | None = None,
     normalize_input: bool = True,
     latent_flag: bool = True,
     scale_factor: float = 1.0,
@@ -137,13 +169,20 @@ def build_schedule(
         sqrt_etas = np.asarray(sqrt_etas, dtype=np.float64)
     elif schedule_name == "exponential":
         sqrt_etas = exponential_sqrt_etas(steps, min_noise_level, etas_end, kappa, power)
+    elif schedule_name == "ldm":
+        # schedule read from a MATLAB file (gaussian_diffusion.py:59-63)
+        import scipy.io as sio
+
+        sqrt_etas = np.asarray(sio.loadmat(mat_path)["sqrt_etas"],
+                               dtype=np.float64).reshape(-1)
+        steps = len(sqrt_etas)
     else:
         raise ValueError(f"unknown schedule_name: {schedule_name}")
 
     if timestep_respacing is None:
         timestep_map = np.arange(steps, dtype=np.int32)
     else:
-        timestep_map = np.asarray(space_timesteps(steps, int(timestep_respacing)), dtype=np.int32)
+        timestep_map = np.asarray(space_timesteps(steps, timestep_respacing), dtype=np.int32)
     sqrt_etas = sqrt_etas[timestep_map]
 
     etas = sqrt_etas**2

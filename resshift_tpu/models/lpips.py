@@ -84,30 +84,58 @@ class LPIPS(nn.Module):
         return total  # (B,)
 
 
-def convert_lpips(vgg_sd: Mapping[str, Any], lin_sd: Mapping[str, Any]) -> dict:
-    """(torchvision vgg16().features state_dict, lpips vgg.pth state_dict)
-    -> flax params for :class:`LPIPS`.
+# torchvision Sequential index of each VGG16 conv, grouped into the lpips
+# package's five slices (lpips/pretrained_networks.py vgg16: slice1=[0,4),
+# slice2=[4,9), slice3=[9,16), slice4=[16,23), slice5=[23,30))
+_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
 
-    vgg keys: '{idx}.weight'/'{idx}.bias' (Sequential indices of conv layers);
-    lin keys: 'lin{i}.model.1.weight' with shape (1, C, 1, 1).
+
+def _slice_of(conv_idx: int) -> int:
+    bounds = (4, 9, 16, 23, 30)
+    for s, b in enumerate(bounds):
+        if conv_idx < b:
+            return s + 1
+    raise ValueError(conv_idx)
+
+
+def convert_lpips(vgg_sd: Mapping[str, Any], lin_sd: Mapping[str, Any] | None = None) -> dict:
+    """torch LPIPS weights -> flax params for :class:`LPIPS`.
+
+    Accepted layouts (all produced by the `lpips` package / torchvision):
+      * two-arg: (torchvision `vgg16().features` state_dict with plain
+        '{idx}.weight' keys, lpips `vgg.pth` with 'lin{i}.model.1.weight');
+      * one-arg full `lpips.LPIPS(net='vgg').state_dict()`: VGG convs under
+        'net.slice{s}.{idx}.weight' (the package re-registers torchvision's
+        Sequential indices inside five slices) plus the same lin heads;
+      * one-arg torchvision prefix 'features.{idx}.weight' + lin heads.
     """
     import torch
 
     def npy(t):
         return t.detach().cpu().float().numpy() if isinstance(t, torch.Tensor) else np.asarray(t)
 
+    if lin_sd is None:
+        lin_sd = vgg_sd
+
+    def vgg_tensor(conv_idx: int, kind: str):
+        for k in (f"{conv_idx}.{kind}",
+                  f"features.{conv_idx}.{kind}",
+                  f"net.slice{_slice_of(conv_idx)}.{conv_idx}.{kind}"):
+            if k in vgg_sd:
+                return npy(vgg_sd[k])
+        raise KeyError(f"no VGG conv {conv_idx} ({kind}) in state_dict; "
+                       f"sample keys: {list(vgg_sd)[:5]}")
+
     params: dict[str, Any] = {"vgg": {}}
-    layer_idx = 0
-    for v in _VGG_CFG:
-        if v == "M":
-            layer_idx += 1
-            continue
-        w = npy(vgg_sd[f"{layer_idx}.weight"]).transpose(2, 3, 1, 0)
-        b = npy(vgg_sd[f"{layer_idx}.bias"])
-        params["vgg"][f"conv{layer_idx}"] = {"kernel": w, "bias": b}
-        layer_idx += 2
+    for conv_idx in _CONV_IDX:
+        w = vgg_tensor(conv_idx, "weight").transpose(2, 3, 1, 0)
+        b = vgg_tensor(conv_idx, "bias")
+        params["vgg"][f"conv{conv_idx}"] = {"kernel": w, "bias": b}
     for i in range(5):
-        key = f"lin{i}.model.1.weight"
-        w = npy(lin_sd[key]).reshape(-1)
-        params[f"lin{i}"] = w
+        for k in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if k in lin_sd:
+                params[f"lin{i}"] = npy(lin_sd[k]).reshape(-1)
+                break
+        else:
+            raise KeyError(f"no lin{i} head in state_dict")
     return params

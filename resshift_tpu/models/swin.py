@@ -23,6 +23,7 @@ enabled with `use_pallas=True`.
 from __future__ import annotations
 
 import functools
+import math
 
 import flax.linen as nn
 import jax
@@ -62,6 +63,37 @@ def relative_position_index(ws: int) -> np.ndarray:
     rel[:, :, 1] += ws - 1
     rel[:, :, 0] *= 2 * ws - 1
     return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=64)
+def _window_token_spatial_ids(h: int, w: int, ws: int) -> np.ndarray:
+    """(nW*N,) spatial pixel id held by each window-layout token (same
+    ordering as :func:`window_partition`: row-major windows, row-major
+    tokens)."""
+    ids = np.arange(h * w).reshape(1, h, w, 1)
+    t = ids.reshape(1, h // ws, ws, w // ws, ws, 1).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(-1)
+
+
+@functools.lru_cache(maxsize=64)
+def shift_permutation(h: int, w: int, ws: int, shift: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static token permutation implementing roll(-shift) + re-partition.
+
+    The reference materializes the shifted layout with jnp.roll +
+    window_partition each block (swin_transformer.py:247-262).  Both are
+    pure data movements, so their composition is a fixed permutation of the
+    once-partitioned token list: `perm[j]` = unshifted-layout index of the
+    token that lands at shifted-layout position j.  Returns (perm, inv_perm).
+    """
+    base = _window_token_spatial_ids(h, w, ws)
+    inv0 = np.empty_like(base)
+    inv0[base] = np.arange(base.size)
+    r, c = base // w, base % w
+    rolled_spatial = ((r + shift) % h) * w + (c + shift) % w
+    perm = inv0[rolled_spatial]
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm, inv
 
 
 @functools.lru_cache(maxsize=64)
@@ -166,9 +198,53 @@ class WindowAttention(nn.Module):
                   bias_mask.astype(jnp.float32), nh)
 
 
+class _GNParams(nn.Module):
+    """Parameter holder matching GroupNorm32's {scale, bias} layout."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (self.param("scale", nn.initializers.ones, (c,), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (c,), jnp.float32))
+
+
+class _AttnParams(nn.Module):
+    """Parameter holder matching WindowAttention's tree (table + qkv/proj),
+    so torch checkpoints convert identically whichever compute path runs."""
+
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, c: int):
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02 / 0.87962566103423978),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        wqkv, bqkv = _DenseParams(3 * c, use_bias=self.qkv_bias, name="qkv")(c)
+        wproj, bproj = _DenseParams(c, name="proj")(c)
+        return table, wqkv, bqkv, wproj, bproj
+
+
 class SwinTransformerBlock(nn.Module):
     """One Swin block: (S)W-MSA + channel MLP, GroupNorm32 norms
-    (swin_transformer.py:163-281)."""
+    (swin_transformer.py:163-281).
+
+    TPU-first execution: the block operates on the ONCE-partitioned token
+    list `xt` (B, T, C) (T = nW*N window-major tokens) and compiles to
+      gn_fold (one cheap stats pass) -> [static shift gather] ->
+      fused norm+attention+residual Pallas kernel -> [inverse gather] ->
+      gn_fold -> fused norm+MLP+residual Pallas kernel.
+    The reference re-materializes the spatial layout around every block
+    (roll -> window_partition -> W-MSA -> window_reverse -> unroll,
+    swin_transformer.py:247-276) — all pure data movements, here replaced
+    by one static token permutation (:func:`shift_permutation`); GroupNorm
+    (per-image stats over the same token set — identical math) and the MLP
+    are fused into the kernels (ops/swin_block_pallas.py).  On CPU/tests the
+    same math runs through the `*_xla` reference compositions.
+    """
 
     dim: int
     build_resolution: tuple[int, int]  # config-time resolution (decides shift/ws)
@@ -179,49 +255,89 @@ class SwinTransformerBlock(nn.Module):
     qkv_bias: bool = True
     qk_scale: float | None = None
     dtype: Dtype = jnp.float32
+    use_pallas: bool | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        # build-time resolution fixes ws/shift (swin:191-195)
+    def __call__(self, xt: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+        from ..ops import swin_block_pallas as sbp
+
+        b, t, c = xt.shape
+        nh = self.num_heads
+        # window size / shift resolved from build-time resolution (swin:191-195)
         ws = self.window_size
         shift_size = ws // 2 if self.shift else 0
         if min(self.build_resolution) <= ws:
             shift_size = 0
             ws = min(self.build_resolution)
-        assert h % ws == 0 and w % ws == 0, f"{(h, w)} not divisible by window {ws}"
+        n = ws * ws
 
-        shortcut = x
-        x = GroupNorm32(name="norm1")(x)
+        s1, b1 = _GNParams(name="norm1")(c)
+        table, wqkv, bqkv, wproj, bproj = _AttnParams(
+            window_size=ws, num_heads=nh, qkv_bias=self.qkv_bias, name="attn")(c)
+        s2, b2 = _GNParams(name="norm2")(c)
+        hidden = int(self.dim * self.mlp_ratio)
+        w1, bb1 = _DenseParams(hidden, name="mlp_fc1")(c)
+        w2, bb2 = _DenseParams(self.dim, name="mlp_fc2")(hidden)
+
+        # combined additive term: rel-pos bias (+ shifted-window mask)
+        idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+        bias = jnp.take(table, idx, axis=0).reshape(n, n, nh).transpose(2, 0, 1)
         if shift_size > 0:
-            x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
             mask = jnp.asarray(shifted_window_mask(h, w, ws, shift_size))
+            bias_mask = bias[None] + mask[:, None]  # (nW, nh, N, N)
         else:
-            mask = None
+            bias_mask = bias[None]
+        bias_mask = bias_mask.astype(jnp.float32)
 
-        xw = window_partition(x, ws)
-        xw = WindowAttention(
-            dim=self.dim, window_size=ws, num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale, dtype=self.dtype,
-            name="attn",
-        )(xw, mask)
-        x = window_reverse(xw, ws, h, w)
+        if self.qk_scale is not None:
+            # fold a custom qk scale into q via the kernel's hd**-0.5 default
+            ratio = self.qk_scale / ((c // nh) ** -0.5)
+            wqkv = wqkv.at[:, :c].multiply(ratio)
+            if self.qkv_bias:
+                bqkv = bqkv.at[:c].multiply(ratio)
 
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = sbp.pallas_available()
+        attn_fn = sbp.norm_attn_residual if use_pallas else sbp.norm_attn_residual_xla
+        mlp_fn = sbp.norm_mlp_residual if use_pallas else sbp.norm_mlp_residual_xla
+
+        dt = self.dtype
+        wa, ba = sbp.gn_fold(xt, s1, b1)
         if shift_size > 0:
-            x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
+            perm, inv = shift_permutation(h, w, ws, shift_size)
+            xs = jnp.take(xt, jnp.asarray(perm), axis=1)
+        else:
+            xs = xt
+        y = attn_fn(xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
+                    wproj.astype(dt), bproj.astype(dt), bias_mask,
+                    num_heads=nh, n_win=n)
+        if shift_size > 0:
+            y = jnp.take(y, jnp.asarray(inv), axis=1)
 
-        x = shortcut + x
-        # MLP with exact GELU (torch nn.GELU default), 1x1 convs == Dense
-        y = GroupNorm32(name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        wm, bm = sbp.gn_fold(y, s2, b2)
+        return mlp_fn(y, wm, bm, w1.astype(dt), bb1.astype(dt),
+                      w2.astype(dt), bb2.astype(dt))
+
+
+def window_partition_tokens(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nW*N, C) window-major token list."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, -1, c)
+
+
+def window_reverse_tokens(xt: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """(B, nW*N, C) -> (B, H, W, C)."""
+    b, _, c = xt.shape
+    x = xt.reshape(b, h // ws, w // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
 
 
 class BasicLayer(nn.Module):
-    """Patch-embed -> depth Swin blocks -> patch-unembed
-    (swin_transformer.py:348-450). patch_size=1 in all shipped configs."""
+    """Patch-embed -> window partition (once) -> depth Swin blocks in token
+    layout -> window reverse -> patch-unembed (swin_transformer.py:348-450;
+    patch_size=1 in all shipped configs)."""
 
     in_chans: int
     embed_dim: int
@@ -243,9 +359,15 @@ class BasicLayer(nn.Module):
                     name="patch_embed_proj")(x)
         if self.patch_norm:
             x = GroupNorm32(name="patch_embed_norm")(x)
+        b, h, w, _ = x.shape
         res = (self.build_resolution // p, self.build_resolution // p)
+        # build-time resolution fixes ws (swin:191-195); runtime shape only
+        # adapts masks/permutations
+        ws = min(res) if min(res) <= self.window_size else self.window_size
+        assert h % ws == 0 and w % ws == 0, f"{(h, w)} not divisible by window {ws}"
+        xt = window_partition_tokens(x, ws)
         for i in range(self.depth):
-            x = SwinTransformerBlock(
+            xt = SwinTransformerBlock(
                 dim=self.embed_dim,
                 build_resolution=res,
                 num_heads=self.num_heads,
@@ -256,7 +378,8 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x)
+            )(xt, h, w)
+        x = window_reverse_tokens(xt, ws, h, w)
         x = nn.Conv(self.in_chans, (1, 1), dtype=self.dtype, name="patch_unembed_proj")(x)
         if self.patch_norm:
             x = GroupNorm32(name="patch_unembed_norm")(x)

@@ -19,6 +19,7 @@ training uses the same math via the fallback, so values match).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,34 +75,45 @@ def xla_window_attention(xw, wqkv, bqkv, wproj, bproj, bias_mask, num_heads):
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bm_ref, o_ref,
-            *, num_heads: int, tm: int):
-    """Mosaic-friendly formulation: heads are selected by multiplying K/V
-    with per-head channel masks and contracting over the FULL width C, so no
-    reshape ever puts head_dim (<128) on the lane axis.  scores_h =
-    Q @ (K*m_h)^T equals q_h k_h^T exactly because off-head columns
-    contribute zero to the contraction."""
+            *, num_heads: int, tm: int, gw: int):
+    """Mosaic-friendly formulation.
+
+    Two tricks keep the MXU fed despite the tiny (N=64, hd=32) window shapes:
+      * heads are selected by multiplying K/V with per-head channel masks and
+        contracting over the FULL width C, so no reshape ever puts head_dim
+        (<128) on the lane axis — scores_h = Q @ (K*m_h)^T equals q_h k_h^T
+        exactly because off-head columns contribute zero;
+      * `gw` windows are fused into one "super-window" of gw*N tokens so each
+        score matmul is (gw*N, C)x(C, gw*N) — at gw=2, N=64 that is a full
+        128x128 MXU tile instead of four quarter-filled 64x64 ones.  The
+        cross-window quadrants are killed by a -1e9 additive mask baked into
+        `bm_ref`, so the softmax result is bit-identical to per-window
+        attention.
+    """
     n = x_ref.shape[1]
     c = x_ref.shape[2]
     nh = num_heads
     hd = c // nh
     scale = hd**-0.5
+    ng = tm // gw          # super-windows per block
+    ns = gw * n            # tokens per super-window
 
     x = x_ref[:].reshape(tm * n, c)
     qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
-    q = qkv[:, :c].reshape(tm, n, c)
-    k = qkv[:, c:2 * c].reshape(tm, n, c)
-    v = qkv[:, 2 * c:].reshape(tm, n, c)
+    q = qkv[:, :c].reshape(ng, ns, c)
+    k = qkv[:, c:2 * c].reshape(ng, ns, c)
+    v = qkv[:, 2 * c:].reshape(ng, ns, c)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
-    out = jnp.zeros((tm, n, c), jnp.float32)
+    out = jnp.zeros((ng, ns, c), jnp.float32)
     for h in range(nh):
         m_h = ((col >= h * hd) & (col < (h + 1) * hd)).astype(k.dtype)
         s = jax.lax.dot_general(
             q * jnp.asarray(scale, q.dtype), k * m_h,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (TM, N, N)
+        )  # (ng, ns, ns)
         s = s + bm_ref[:, h]
         smax = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - smax)
@@ -118,38 +130,73 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bm_ref, o_ref,
     o_ref[:] = proj.astype(o_ref.dtype).reshape(tm, n, c)
 
 
+_CROSS_MASK = -1e9  # kills cross-window attention inside a super-window
+
+
+def _group_bias(bias_mask: jnp.ndarray, gw: int) -> jnp.ndarray:
+    """(nW or 1, nh, N, N) per-window bias -> (nW' , nh, gw*N, gw*N)
+    super-window bias: block-diagonal per-window biases, cross-window
+    quadrants at -1e9.  nW'=1 stays 1 (same bias in every slot)."""
+    if gw == 1:
+        return bias_mask
+    nw, nh, n, _ = bias_mask.shape
+    ns = gw * n
+    if nw == 1:
+        parts = [bias_mask[0]] * gw
+        nw2 = 1
+    else:
+        assert nw % gw == 0, (nw, gw)
+        nw2 = nw // gw
+        parts = None
+    out = jnp.full((nw2, nh, ns, ns), _CROSS_MASK, bias_mask.dtype)
+    for g in range(gw):
+        sl = slice(g * n, (g + 1) * n)
+        blk = bias_mask[g::gw] if nw > 1 else bias_mask
+        out = out.at[:, :, sl, sl].set(blk)
+    return out
+
+
 def _forward_pallas(xw, wqkv, bqkv, wproj, bproj, bias_mask, num_heads):
     m, n, c = xw.shape
     nw = bias_mask.shape[0]
     tm = _TM
+    # super-window grouping: pair windows when the resulting tile fills the
+    # 128-lane MXU dimension and window counts line up
+    gw = 2 if (n * 2 <= 128 and tm % 2 == 0 and (nw == 1 or nw % 2 == 0)) else 1
+    env_gw = os.environ.get("RSTPU_ATTN_GW")  # perf experiments only
+    if env_gw and int(env_gw) in (1, 2) and (int(env_gw) == 1 or gw == 2):
+        gw = int(env_gw)
     pad = (-m) % tm
     if pad:
         xw = jnp.concatenate([xw, jnp.zeros((pad, n, c), xw.dtype)], axis=0)
     mp = xw.shape[0]
     grid = (mp // tm,)
+    ng = tm // gw
 
-    if nw == 1:
-        bm = jnp.broadcast_to(bias_mask, (tm,) + bias_mask.shape[1:]).astype(jnp.float32)
-        bm_spec = pl.BlockSpec((tm,) + bias_mask.shape[1:], lambda i: (0, 0, 0, 0),
+    gb = _group_bias(bias_mask.astype(jnp.float32), gw)
+    nwg = gb.shape[0]
+    if nwg == 1:
+        bm = jnp.broadcast_to(gb, (ng,) + gb.shape[1:])
+        bm_spec = pl.BlockSpec((ng,) + gb.shape[1:], lambda i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
         # windows are ordered (batch-major, window-minor); block i covers
-        # window ids [i*tm, (i+1)*tm) whose mask rows are i*tm % nW ..
-        assert nw % tm == 0 or tm % nw == 0, (nw, tm)
-        bm = bias_mask.astype(jnp.float32)
-        if nw % tm == 0:
-            blocks_per_img = nw // tm
-            bm_spec = pl.BlockSpec((tm,) + bias_mask.shape[1:],
+        # super-window ids [i*ng, (i+1)*ng) whose mask rows are (i*ng) % nwg ..
+        assert nwg % ng == 0 or ng % nwg == 0, (nwg, ng)
+        bm = gb
+        if nwg % ng == 0:
+            blocks_per_img = nwg // ng
+            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
                                    lambda i: (i % blocks_per_img, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
-        else:  # tm > nw: tile the mask up to tm
-            reps = tm // nw
+        else:  # ng > nwg: tile the mask up to ng
+            reps = ng // nwg
             bm = jnp.tile(bm, (reps, 1, 1, 1))
-            bm_spec = pl.BlockSpec((tm,) + bias_mask.shape[1:], lambda i: (0, 0, 0, 0),
+            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:], lambda i: (0, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, tm=tm),
+        functools.partial(_kernel, num_heads=num_heads, tm=tm, gw=gw),
         out_shape=jax.ShapeDtypeStruct((mp, n, c), xw.dtype),
         grid=grid,
         in_specs=[

@@ -1,0 +1,348 @@
+"""Fused Swin-block kernels — Pallas TPU.
+
+Each Swin block in the reference is a chain of full-tensor passes
+(swin_transformer.py:238-281): GroupNorm -> [roll] -> window_partition ->
+W-MSA -> window_reverse -> [unroll] -> +residual -> GroupNorm -> fc1 ->
+GELU -> fc2 -> +residual.  On TPU each of those passes costs a full HBM
+round trip of the ~100MB activation; measured on v5e that makes a 64^2
+BasicLayer ~20ms while its matmul content is worth <7ms.
+
+Here the block is TWO pallas_calls over a (B, T, C) token layout
+(T = nW * N window-major tokens, produced once per BasicLayer):
+
+  norm_attn_residual:  y = x + proj(softmax(q k^T * s + bias) v)
+                       with q,k,v = (x * w + b) @ Wqkv  (GN folded to a
+                       per-image affine (w, b) computed by `gn_fold`)
+  norm_mlp_residual:   y = x + fc2(gelu(fc1(x * w + b)))
+
+MXU shaping (v5e measurements in PERF.md):
+  * heads are LANE SLICES (hd=32-aligned) — no masked full-width products,
+    no cross-head accumulator;
+  * `gw` windows form one super-window so score tiles are (gw*N x gw*N)
+    = 128x128 with cross-window quadrants killed by a -1e9 bias;
+  * blocks slice the T axis, so no (B*nW, N, C) <-> (B, T, C) relayouts.
+
+Gradients: custom VJP recomputes through the XLA reference composition
+(`*_xla` below) — identical math, so values match the kernels to bf16
+rounding.  The XLA functions are also the CPU/test path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas TPU backend is unavailable on CPU test runs
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+__all__ = ["gn_fold", "norm_attn_residual", "norm_mlp_residual",
+           "pallas_available"]
+
+_CROSS_MASK = -1e9
+
+
+def pallas_available() -> bool:
+    if not _PALLAS_OK:
+        return False
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", None) == "tpu"
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ------------------------------------------------------------------ GN fold
+
+def gn_fold(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+            num_groups: int = 32, eps: float = 1e-5):
+    """Fold GroupNorm into a per-(image, channel) affine: GN(x) == x*w + b.
+
+    x: (B, T, C); returns (w, b) f32 of shape (B, C).  Uses the same
+    lane-friendly one-hot-matmul statistics as models.layers.GroupNorm32
+    (fp32 stats — reference models/basic_ops.py:15-17).
+    """
+    b_, t, c = x.shape
+    g = min(num_groups, c)
+    onehot = jnp.asarray(np.repeat(np.eye(g, dtype=np.float32), c // g, axis=0))
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=1) @ onehot           # (B, G)
+    sq = jnp.sum(jnp.square(xf), axis=1) @ onehot
+    n = t * (c // g)
+    mean_g = s / n
+    var_g = jnp.maximum(sq / n - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ onehot.T                 # (B, C)
+    inv_c = inv_g @ onehot.T
+    w = inv_c * scale[None].astype(jnp.float32)
+    b = bias[None].astype(jnp.float32) - mean_c * w
+    return w, b
+
+
+# ----------------------------------------------------------- XLA reference
+
+def norm_attn_residual_xla(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                           num_heads, n_win):
+    """x: (B, T, C) tokens; bias_mask: (nW or 1, nh, N, N) f32."""
+    bsz, t, c = x.shape
+    nh, hd = num_heads, c // num_heads
+    xn = (x.astype(jnp.float32) * w[:, None] + b[:, None]).astype(x.dtype)
+    m = bsz * t // n_win
+    xw = xn.reshape(m, n_win, c)
+    qkv = xw @ wqkv.astype(xw.dtype) + bqkv.astype(xw.dtype)
+    qkv = qkv.reshape(m, n_win, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd**-0.5), k)
+    nw = bias_mask.shape[0]
+    attn = attn.reshape(m // nw, nw, nh, n_win, n_win) + bias_mask[None].astype(attn.dtype)
+    attn = attn.reshape(m, nh, n_win, n_win)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(xw.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(m, n_win, c)
+    out = out @ wproj.astype(xw.dtype) + bproj.astype(xw.dtype)
+    return x + out.reshape(bsz, t, c)
+
+
+def norm_mlp_residual_xla(x, w, b, w1, b1, w2, b2):
+    xn = (x.astype(jnp.float32) * w[:, None] + b[:, None]).astype(x.dtype)
+    h = xn @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return x + (h @ w2.astype(x.dtype) + b2.astype(x.dtype))
+
+
+# ------------------------------------------------------------ attn kernel
+
+def _pick_gw(n: int, tmw: int, nw: int) -> int:
+    gw = 1
+    for g in (8, 4, 2):
+        if n * g <= 128 and tmw % g == 0 and (nw == 1 or nw % g == 0):
+            gw = g
+            break
+    return gw
+
+
+def _group_bias(bias_mask: jnp.ndarray, gw: int) -> jnp.ndarray:
+    if gw == 1:
+        return bias_mask
+    nw, nh, n, _ = bias_mask.shape
+    ns = gw * n
+    nw2 = 1 if nw == 1 else nw // gw
+    out = jnp.full((nw2, nh, ns, ns), _CROSS_MASK, bias_mask.dtype)
+    for g in range(gw):
+        sl = slice(g * n, (g + 1) * n)
+        blk = bias_mask if nw == 1 else bias_mask[g::gw]
+        out = out.at[:, :, sl, sl].set(blk)
+    return out
+
+
+def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, bm_ref, o_ref, *, num_heads, n_win, gw, tb):
+    c = x_ref.shape[2]
+    nh = num_heads
+    hd = c // nh
+    scale = hd**-0.5
+    ns = gw * n_win
+    ng = tb // ns  # super-windows per block
+
+    x = x_ref[0]  # (TB, C)
+    xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
+    q = qkv[:, :c].reshape(ng, ns, c)
+    k = qkv[:, c:2 * c].reshape(ng, ns, c)
+    v = qkv[:, 2 * c:].reshape(ng, ns, c)
+
+    outs = []
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, :, sl] * jnp.asarray(scale, q.dtype), k[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (ng, ns, ns)
+        s = s + bm_ref[:, h]
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - smax)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # (ng, ns, hd)
+    out = jnp.concatenate(outs, axis=-1).astype(x.dtype).reshape(tb, c)
+    proj = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
+    proj = proj + bproj_ref[:].astype(jnp.float32)
+    o_ref[0] = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
+                                   bias_mask, num_heads, n_win):
+    bsz, t, c = x.shape
+    nw = bias_mask.shape[0]
+    t_win = t // n_win  # windows per image
+    # tokens per block: ~1024, whole windows, divides T
+    tmw = t_win
+    for cand in (16, 8, 4, 2, 1):
+        if t_win % cand == 0 and cand * n_win <= 1024:
+            tmw = cand
+            break
+    tb = tmw * n_win
+    gw = _pick_gw(n_win, tmw, nw)
+    env_gw = os.environ.get("RSTPU_ATTN_GW")  # perf experiments only
+    if env_gw and int(env_gw) <= gw and tmw % int(env_gw) == 0:
+        gw = int(env_gw)
+    ng = tb // (gw * n_win)
+
+    gb = _group_bias(bias_mask.astype(jnp.float32), gw)
+    nwg = gb.shape[0]
+    if nwg == 1:
+        bm = jnp.broadcast_to(gb, (ng,) + gb.shape[1:])
+        bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
+                               lambda bi, ti: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        assert nwg % ng == 0 or ng % nwg == 0, (nwg, ng)
+        bm = gb
+        if nwg % ng == 0:
+            bpi = nwg // ng  # blocks per image
+            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
+                                   lambda bi, ti: (ti % bpi, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            reps = ng // nwg
+            bm = jnp.tile(bm, (reps, 1, 1, 1))
+            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
+                                   lambda bi, ti: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    grid = (bsz, t // tb)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, num_heads=num_heads, n_win=n_win,
+                          gw=gw, tb=tb),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            bm_spec,
+        ],
+        out_specs=pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, w.astype(jnp.float32)[:, None], b.astype(jnp.float32)[:, None],
+      wqkv, bqkv, wproj, bproj, bm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def norm_attn_residual(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                       num_heads, n_win):
+    """Fused GN-affine + W-MSA + residual on (B, T, C) tokens."""
+    return _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
+                                          bias_mask, num_heads, n_win)
+
+
+def _nar_fwd(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask, num_heads, n_win):
+    out = _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
+                                         bias_mask, num_heads, n_win)
+    return out, (x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
+
+
+def _nar_bwd(num_heads, n_win, res, g):
+    x, w, b, wqkv, bqkv, wproj, bproj, bias_mask = res
+    _, vjp = jax.vjp(
+        lambda *a: norm_attn_residual_xla(*a, num_heads=num_heads, n_win=n_win),
+        x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
+    return vjp(g)
+
+
+norm_attn_residual.defvjp(_nar_fwd, _nar_bwd)
+
+
+# ------------------------------------------------------------- MLP kernel
+
+def _erf_f32(x):
+    """float32 erf for in-kernel use (Mosaic has no erf lowering).
+
+    Abramowitz & Stegun 7.1.26 rational approximation, |error| <= 1.5e-7 —
+    below f32 GELU noise and far below bf16 output rounding, so the fused
+    kernel matches the XLA exact-GELU path bit-for-bit after the bf16 cast
+    in practice (verified vs jax.lax.erf in tests at rtol 2e-4).
+    """
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[0]  # (TB, C)
+    xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    # exact GELU (erf), matching torch nn.GELU default
+    h = (0.5 * h * (1.0 + _erf_f32(h * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    o_ref[0] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2):
+    bsz, t, c = x.shape
+    hidden = w1.shape[1]
+    tb = 1024
+    while t % tb:
+        tb //= 2
+    grid = (bsz, t // tb)
+    return pl.pallas_call(
+        _mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hidden), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, w.astype(jnp.float32)[:, None], b.astype(jnp.float32)[:, None],
+      w1, b1, w2, b2)
+
+
+@jax.custom_vjp
+def norm_mlp_residual(x, w, b, w1, b1, w2, b2):
+    """Fused GN-affine + fc1 + exact-GELU + fc2 + residual on (B, T, C)."""
+    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)
+
+
+def _nmr_fwd(x, w, b, w1, b1, w2, b2):
+    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2), \
+        (x, w, b, w1, b1, w2, b2)
+
+
+def _nmr_bwd(res, g):
+    _, vjp = jax.vjp(norm_mlp_residual_xla, *res)
+    return vjp(g)
+
+
+norm_mlp_residual.defvjp(_nmr_fwd, _nmr_bwd)

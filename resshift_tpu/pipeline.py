@@ -52,6 +52,7 @@ class ResShiftPipeline:
             etas_end=d.get("etas_end", 0.99), kappa=d.get("kappa", 1.0),
             power=d.get("power", 0.3), predict_type=d.get("predict_type", "xstart"),
             timestep_respacing=d.get("timestep_respacing"),
+            mat_path=d.get("mat_path"),
             normalize_input=d.get("normalize_input", True),
             latent_flag=d.get("latent_flag", True),
             scale_factor=d.get("scale_factor", 1.0), sf=self.sf,
@@ -59,6 +60,7 @@ class ResShiftPipeline:
         m = dict(config["model"])
         m.pop("dims", None)
         m.pop("use_fp16", None)
+        m.pop("ckpt_path", None)  # weights loaded separately (trainer/CLI)
         self.unet = UNetModelSwin(dtype=dtype, **m)
         self.cond_lq = m.get("cond_lq", True)
         self.cond_mask = m.get("cond_mask", False)
@@ -96,14 +98,18 @@ class ResShiftPipeline:
             params["vqgan"] = self.vq.init(kv, img)["params"]
         return params
 
-    def load_torch_checkpoints(self, unet_path: str, vqgan_path: str | None = None) -> dict:
-        """Load + convert the reference's released .pth checkpoints."""
-        from .convert import convert_unet_swin, convert_vqgan, load_torch_state_dict
+    def load_unet_checkpoint(self, path: str):
+        """UNet params from a torch .pth (converted) or a native orbax dir.
 
-        m = self.config["model"]
-        params = {
-            "unet": convert_unet_swin(
-                load_torch_state_dict(unet_path),
+        Mirrors the reference trainer's `model.ckpt_path` load
+        (trainer.py:204-234) / sampler build (sampler.py:83-116).
+        """
+        if str(path).endswith(".pth"):
+            from .convert import convert_unet_swin, load_torch_state_dict
+
+            m = self.config["model"]
+            return convert_unet_swin(
+                load_torch_state_dict(path),
                 image_size=m["image_size"], channel_mult=m["channel_mult"],
                 num_res_blocks=m["num_res_blocks"],
                 attention_resolutions=m["attention_resolutions"],
@@ -111,16 +117,34 @@ class ResShiftPipeline:
                 lq_size=m.get("lq_size", 64),
                 resblock_updown=m.get("resblock_updown", False),
             )
-        }
-        if vqgan_path is not None and self.vq is not None:
-            ae = self.config["autoencoder"]
-            dd = ae["ddconfig"]
-            params["vqgan"] = convert_vqgan(
-                load_torch_state_dict(vqgan_path),
+        from .checkpoint import load_params
+
+        p = load_params(path)
+        return p["unet"] if isinstance(p, dict) and "unet" in p else p
+
+    def load_vqgan_checkpoint(self, path: str):
+        """Frozen-VQGAN params from a torch .pth or native orbax dir
+        (reference `autoencoder.ckpt_path`, trainer.py:444-469)."""
+        if str(path).endswith(".pth"):
+            from .convert import convert_vqgan, load_torch_state_dict
+
+            dd = self.config["autoencoder"]["ddconfig"]
+            return convert_vqgan(
+                load_torch_state_dict(path),
                 ch_mult=dd["ch_mult"], num_res_blocks=dd["num_res_blocks"],
                 attn_resolutions=dd.get("attn_resolutions", ()),
                 resolution=dd.get("resolution", 256),
             )
+        from .checkpoint import load_params
+
+        p = load_params(path)
+        return p["vqgan"] if isinstance(p, dict) and "vqgan" in p else p
+
+    def load_torch_checkpoints(self, unet_path: str, vqgan_path: str | None = None) -> dict:
+        """Load + convert the reference's released .pth checkpoints."""
+        params = {"unet": self.load_unet_checkpoint(unet_path)}
+        if vqgan_path is not None and self.vq is not None:
+            params["vqgan"] = self.load_vqgan_checkpoint(vqgan_path)
         return params
 
     # ------------------------------------------------------------- core
@@ -225,6 +249,42 @@ class ResShiftPipeline:
 
         return out[:, :h * self.sf, :w * self.sf, :]
 
+    def sample_progressive(self, params, lq, key, mask=None):
+        """Reverse chain that also returns the decoded per-step x0 predictions
+        (T, B, H*sf, W*sf, C) — the reference's progressive-sampling strip
+        logged during validation (trainer.py:898-938 via
+        p_sample_loop_progressive, gaussian_diffusion.py:421-472).
+
+        Input must fit one tile (no chopping); intended for val-time strips.
+        """
+        sig = ("progressive", lq.shape, None if mask is None else mask.shape)
+        if sig not in self._jit_cache:
+
+            def fn(params, lq, mask, key):
+                z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
+                model_kwargs = {}
+                if self.cond_lq:
+                    model_kwargs["lq"] = lq
+                if self.cond_mask and mask is not None:
+                    model_kwargs["mask"] = mask
+
+                def model_fn(x, t_orig, **kw):
+                    return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)
+
+                z0, _, pred_x0s = rs.sample_loop_progressive(
+                    self.sched, model_fn, z_y, key,
+                    clip_denoised=(self.vq is None), model_kwargs=model_kwargs,
+                )
+                final = jnp.clip(self._decode(params.get("vqgan"), z0), -1.0, 1.0)
+                strip = jax.lax.map(
+                    lambda z: jnp.clip(self._decode(params.get("vqgan"), z), -1.0, 1.0),
+                    pred_x0s,
+                )
+                return final, strip
+
+            self._jit_cache[sig] = jax.jit(fn)
+        return self._jit_cache[sig](params, lq, mask, key)
+
     # -------------------------------------------------------------- API
 
     def sample_tiles_sharded(self, params, lq, key, mesh, mask=None, *,
@@ -280,6 +340,36 @@ class ResShiftPipeline:
             self._jit_cache[sig] = jax.jit(fn)
         with mesh:
             return self._jit_cache[sig](params, lq, mask, key)
+
+    def sample_batch_sharded(self, params, lq, key, mesh, mask=None, *,
+                             noise_repeat=False, chop_size: int | None = None,
+                             chop_stride: int | None = None, tile_bs: int = 1):
+        """Data-parallel batched inference: the image-batch axis is sharded
+        over the mesh's `data` axis, so a multi-chip host runs `bs` images
+        at once with zero cross-device traffic (each image's full sampler is
+        local).  This is the reference's rank-sliced dataloader batch
+        (sampler.py:267-283) done as SPMD sharding instead of rank slicing.
+
+        The batch is padded up to a device multiple and cropped back.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = len(mesh.devices.ravel())
+        b = lq.shape[0]
+        pad = (-b) % n_dev
+        if pad:
+            lq = jnp.concatenate([lq, jnp.repeat(lq[-1:], pad, axis=0)], axis=0)
+            if mask is not None:
+                mask = jnp.concatenate([mask, jnp.repeat(mask[-1:], pad, axis=0)], axis=0)
+        shd = NamedSharding(mesh, P("data"))
+        lq = jax.device_put(lq, shd)
+        if mask is not None:
+            mask = jax.device_put(mask, shd)
+        with mesh:
+            out = self.sample(params, lq, key, mask, noise_repeat=noise_repeat,
+                              chop_size=chop_size, chop_stride=chop_stride,
+                              tile_bs=tile_bs)
+        return out[:b]
 
     def sample(self, params, lq, key, mask=None, *, noise_repeat=False,
                chop_size: int | None = None, chop_stride: int | None = None,

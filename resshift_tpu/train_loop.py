@@ -1,15 +1,28 @@
-"""Training orchestrator — the reference's TrainerBase/TrainerDifIR
-(trainer.py:39-950) rebuilt around one jitted SPMD step.
+"""Training orchestrator — the reference's TrainerBase/TrainerDifIR/
+TrainerDifIRLPIPS (trainer.py:39-1045) rebuilt around one jitted SPMD step.
 
 Flow per iteration (mirrors trainer.py:296-333):
   data batch (host loader, sharded by process) -> device degradation
   (RealESRGAN pipe) or passthrough -> jitted DP train step (encode,
   q_sample, UNet fwd/bwd, AdamW, EMA — one XLA program over the mesh) ->
-  periodic logging / validation (full reverse sampler + PSNR/SSIM) /
+  periodic logging (scalars + lq/gt/x_t/x0-pred image grids) / validation
+  (full reverse sampler + PSNR/SSIM/LPIPS + progressive-sampling strips) /
   orbax checkpointing.
 
+Pretrained weights: `model.ckpt_path` initializes the denoiser and
+`autoencoder.ckpt_path` loads the frozen VQGAN — matching the reference's
+trainer build (trainer.py:204-234 model resume/init, :444-469 frozen
+first-stage).  Paths may be torch `.pth` (converted on the fly) or native
+orbax checkpoints.  The LPIPS trainer variant is selected with
+`trainer: difir_lpips` (reference picks it via the reflective
+`trainer.target`, configs/bicx4_swinunet_lpips.yaml:2) and loads its
+frozen weights from `train.lpips_path` (trainer.py:472-482).
+
 Multi-host: `jax.process_index()==0` gates logging/ckpt (replacing rank-0
-checks); the loader shards by process (replacing DistributedSampler).
+checks); the loader shards by process (replacing DistributedSampler); the
+per-iteration device PRNG key folds in `process_index` so each host draws
+distinct degradations/timesteps/noise — the reference's per-rank seeding
+(trainer.py:66-79, `global_seeding: False`).
 """
 
 from __future__ import annotations
@@ -30,7 +43,18 @@ from .ops.metrics import batch_psnr, batch_ssim
 from .parallel.mesh import data_parallel_shardings, make_mesh
 from .pipeline import ResShiftPipeline
 from .trainer import State, TrainConfig, create_state, make_train_step
-from .utils.image_io import from_model, imwrite
+from .utils.image_io import from_model, imwrite, make_grid
+
+
+def iteration_key(seed: int, it: int, process_index: int) -> jax.Array:
+    """Device PRNG key for one train iteration on one host.
+
+    Folding `process_index` in gives each host an independent stream —
+    the reference's rank-offset seeding (trainer.py:66-79) — while staying
+    deterministic for resume (the key depends only on seed/iter/rank).
+    """
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), process_index)
+    return jax.random.fold_in(base, it)
 
 
 class Trainer:
@@ -43,7 +67,8 @@ class Trainer:
         self.rank0 = jax.process_index() == 0
         if self.rank0:
             (self.save_dir / "ckpts").mkdir(parents=True, exist_ok=True)
-            (self.save_dir / "images").mkdir(parents=True, exist_ok=True)
+            (self.save_dir / "images" / "train").mkdir(parents=True, exist_ok=True)
+            (self.save_dir / "images" / "val").mkdir(parents=True, exist_ok=True)
 
         tcfg_raw = dict(config.get("train", {}))
         self.tcfg = TrainConfig(
@@ -75,6 +100,27 @@ class Trainer:
         self.pipe = ResShiftPipeline(config, dtype=dtype)
         key = jax.random.PRNGKey(seed)
         self.params = self.pipe.init_params(key)
+
+        # ---- pretrained checkpoints (trainer.py:204-234, :444-469) ----
+        unet_ckpt = (config.get("model") or {}).get("ckpt_path")
+        if unet_ckpt:
+            self.params["unet"] = self.pipe.load_unet_checkpoint(unet_ckpt)
+            if self.rank0:
+                print(f"[init] denoiser from {unet_ckpt}", flush=True)
+        ae_ckpt = (config.get("autoencoder") or {}).get("ckpt_path")
+        if ae_ckpt:
+            self.params["vqgan"] = self.pipe.load_vqgan_checkpoint(ae_ckpt)
+            if self.rank0:
+                print(f"[init] frozen VQGAN from {ae_ckpt}", flush=True)
+
+        # ---- LPIPS variant (TrainerDifIRLPIPS, trainer.py:952-988) ----
+        self.lpips_params = None
+        use_lpips = (config.get("trainer") in ("difir_lpips", "TrainerDifIRLPIPS")
+                     or bool(tcfg_raw.get("use_lpips")))
+        if lpips_fn is None and use_lpips:
+            lpips_fn = self._build_lpips(tcfg_raw.get("lpips_path"), dtype)
+        self.lpips_fn = lpips_fn
+
         self.state = create_state(self.params["unet"], self.tcfg)
         self.vq_params = self.params.get("vqgan")
         self.step_fn = make_train_step(self.pipe, self.tcfg, lpips_fn=lpips_fn)
@@ -104,9 +150,37 @@ class Trainer:
         self.np_rng = np.random.default_rng(seed + jax.process_index())
 
         self._jstep = None
+        self._jviz = None
         self.start_iter = 0
         if resume:
             self.resume(resume)
+
+    def _build_lpips(self, lpips_path: str | None, dtype):
+        """Frozen LPIPS(vgg) loss fn (reference trainer.py:472-482)."""
+        from .models.lpips import LPIPS, convert_lpips
+
+        model = LPIPS(dtype=dtype)
+        if lpips_path and str(lpips_path).endswith(".pth"):
+            import torch
+
+            sd = torch.load(lpips_path, map_location="cpu", weights_only=True)
+            self.lpips_params = convert_lpips(sd)
+        elif lpips_path:
+            from .checkpoint import load_params
+
+            self.lpips_params = load_params(lpips_path)
+        else:
+            if self.rank0:
+                print("WARNING: LPIPS enabled without train.lpips_path — "
+                      "using RANDOM weights (tests/smoke only)", flush=True)
+            z = jnp.zeros((1, 64, 64, 3))
+            self.lpips_params = model.init(jax.random.PRNGKey(0), z, z)["params"]
+        lp = self.lpips_params
+
+        def lpips_fn(a, b):
+            return model.apply({"params": jax.lax.stop_gradient(lp)}, a, b)
+
+        return lpips_fn
 
     # ------------------------------------------------------------------
 
@@ -133,7 +207,7 @@ class Trainer:
         t0 = time.time()
         while it < self.tcfg.iterations:
             raw = next(data_iter)
-            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), it)
+            key = iteration_key(self.seed, it, jax.process_index())
             batch = self.prepare_batch(raw, jax.random.fold_in(key, 1))
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             with self.mesh:
@@ -149,6 +223,8 @@ class Trainer:
                 print(f"[{it}/{self.tcfg.iterations}] " +
                       " ".join(f"{k}={v:.4g}" for k, v in m.items() if k != "iter"),
                       flush=True)
+            if self.rank0 and len(self.log_freq) > 1 and it % int(self.log_freq[1]) == 0:
+                self.log_train_images(it, batch, jax.random.fold_in(key, 3))
             if it % self.val_freq == 0 and self.val_cfg and self.rank0:
                 self.validate(it)
             if it % self.save_freq == 0 and self.rank0:
@@ -159,29 +235,119 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def validate(self, it: int, max_images: int = 8):
-        """Full reverse chain on the val set + PSNR/SSIM (trainer.py:851-950),
-        using the EMA params like `use_ema_val: True`."""
+    def log_train_images(self, it: int, batch: dict, key: jax.Array,
+                         max_n: int = 8):
+        """lq / gt / diffused x_t / x0-prediction grids every `log_freq[1]`
+        iterations (reference trainer.py:379-418,829-841)."""
+        from .diffusion import resshift as rs
+
+        if "gt" not in batch or "lq" not in batch:
+            return
+        n = min(max_n, batch["gt"].shape[0])
+        sub = {k: v[:n] for k, v in batch.items()}
+
+        if self._jviz is None:
+
+            def viz(params, vq_params, batch, key):
+                kt, kn = jax.random.split(key)
+                gt, lq = batch["gt"], batch["lq"]
+                z_y = self.pipe._encode(vq_params, lq, up_sample=True)
+                z0 = self.pipe._encode(vq_params, gt, up_sample=False)
+                t = jax.random.randint(kt, (gt.shape[0],), 0,
+                                       self.pipe.sched.num_timesteps)
+                noise = jax.random.normal(kn, z0.shape, dtype=jnp.float32)
+                kwargs = {}
+                if self.pipe.cond_lq:
+                    kwargs["lq"] = lq
+                if self.pipe.cond_mask and "mask" in batch:
+                    kwargs["mask"] = batch["mask"]
+
+                def model_fn(x, t_orig, **kw):
+                    return self.pipe.unet.apply({"params": params}, x, t_orig, **kw)
+
+                _, z_t, pred_z0 = rs.training_losses(
+                    self.pipe.sched, model_fn, z0, z_y, t, noise,
+                    model_kwargs=kwargs)
+                x_t = jnp.clip(self.pipe._decode(vq_params, z_t), -1, 1)
+                x0p = jnp.clip(self.pipe._decode(vq_params, pred_z0), -1, 1)
+                return x_t, x0p
+
+            self._jviz = jax.jit(viz)
+
+        x_t, x0p = self._jviz(self.state.params, self.vq_params, sub, key)
+        for name, im in (("lq", sub["lq"]), ("gt", sub["gt"]),
+                         ("xt", x_t), ("x0pred", x0p)):
+            grid = make_grid(from_model(np.asarray(im)), ncol=max_n)
+            imwrite(grid, self.save_dir / "images" / "train"
+                    / f"{name}_{it:06d}.png")
+
+    def validate(self, it: int, max_images: int | None = None):
+        """Full reverse chain on the val set + PSNR/SSIM/LPIPS and a
+        progressive-sampling strip (trainer.py:851-950), using the EMA
+        params like `use_ema_val: True`.
+
+        Single-host multi-device runs batch same-shape val images over the
+        mesh (`sample_batch_sharded`), so validation does not idle N-1 chips
+        the way the reference's rank-0 validation does.
+        """
+        if max_images is None:
+            max_images = int(dict(self.config.get("train", {}))
+                             .get("val_max_images", 8))
         ds = create_dataset(self.val_cfg)
         params = {"unet": self.state.ema_params}
         if self.vq_params is not None:
             params["vqgan"] = self.vq_params
-        psnr = ssim = n = 0
+        psnr = ssim = lpips_sum = 0.0
+        n = 0
         key = jax.random.PRNGKey(0)
-        for i in range(min(len(ds), max_images)):
-            item = ds[i]
-            lq = jnp.asarray(item["lq"])[None]
-            sr = self.pipe.sample(params, lq, jax.random.fold_in(key, i))
+        items = [ds[i] for i in range(min(len(ds), max_images))]
+        use_sharded = self.n_dev > 1 and jax.process_count() == 1
+
+        # progressive strip for the first val image
+        if items:
+            lq0 = jnp.asarray(items[0]["lq"])[None]
+            mask0 = (jnp.asarray(items[0]["mask"])[None]
+                     if "mask" in items[0] else None)
+            if lq0.shape[1] <= self.pipe.chop_size and lq0.shape[2] <= self.pipe.chop_size:
+                _, strip = self.pipe.sample_progressive(params, lq0, key, mask=mask0)
+                strip01 = from_model(np.asarray(strip)[:, 0])  # (T, H, W, C)
+                imwrite(make_grid(strip01, ncol=strip01.shape[0]),
+                        self.save_dir / "images" / "val" / f"progress_{it:06d}.png")
+
+        # group same-shape images so each forward runs a full (sharded) batch
+        groups: dict[tuple, list] = {}
+        for i, item in enumerate(items):
+            sig = (item["lq"].shape, "mask" in item)
+            groups.setdefault(sig, []).append((i, item))
+        for gi, group in enumerate(groups.values()):
+            lq = jnp.asarray(np.stack([it["lq"] for _, it in group]))
+            mask = (jnp.asarray(np.stack([it["mask"] for _, it in group]))
+                    if "mask" in group[0][1] else None)
+            k = jax.random.fold_in(key, gi + 1)
+            if use_sharded and lq.shape[0] > 1:
+                sr = self.pipe.sample_batch_sharded(params, lq, k, self.mesh,
+                                                    mask=mask)
+            else:
+                sr = self.pipe.sample(params, lq, k, mask=mask)
             sr01 = from_model(np.asarray(sr))
-            if i == 0:
-                imwrite(sr01[0], self.save_dir / "images" / f"val_{it:06d}.png")
-            if "gt" in item:
-                gt01 = from_model(np.asarray(item["gt"])[None])
-                psnr += batch_psnr(sr01, gt01, ycbcr=True)
-                ssim += batch_ssim(sr01, gt01, ycbcr=True)
-                n += 1
+            for j, (i, item) in enumerate(group):
+                if i == 0:
+                    imwrite(sr01[j], self.save_dir / "images" / "val"
+                            / f"val_{it:06d}.png")
+                if "gt" in item:
+                    gt = np.asarray(item["gt"])[None]
+                    gt01 = from_model(gt)
+                    psnr += batch_psnr(sr01[j:j + 1], gt01, ycbcr=True)
+                    ssim += batch_ssim(sr01[j:j + 1], gt01, ycbcr=True)
+                    if self.lpips_fn is not None:
+                        lpips_sum += float(jnp.mean(self.lpips_fn(
+                            jnp.asarray(sr01[j:j + 1] * 2 - 1), jnp.asarray(gt))))
+                    n += 1
         if n:
-            print(f"[val @{it}] PSNR(Y)={psnr / n:.2f} SSIM(Y)={ssim / n:.4f}", flush=True)
+            msg = f"[val @{it}] PSNR(Y)={psnr / n:.2f} SSIM(Y)={ssim / n:.4f}"
+            if self.lpips_fn is not None:
+                msg += f" LPIPS={lpips_sum / n:.4f}"
+            print(msg, flush=True)
             return psnr / n, ssim / n
         return None
 

@@ -64,3 +64,18 @@ def to_model(im: np.ndarray) -> np.ndarray:
 def from_model(x: np.ndarray) -> np.ndarray:
     """NHWC [-1,1] -> NHWC [0,1]."""
     return np.clip(np.asarray(x, dtype=np.float32) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def make_grid(ims: np.ndarray, ncol: int = 8, pad: int = 2) -> np.ndarray:
+    """Tile a batch NHWC [0,1] into one HWC grid image (the reference logs
+    train/val image grids via torchvision `make_grid`, trainer.py:379-418)."""
+    ims = np.asarray(ims, np.float32)
+    n, h, w, c = ims.shape
+    ncol = min(ncol, n)
+    nrow = (n + ncol - 1) // ncol
+    grid = np.ones((nrow * (h + pad) + pad, ncol * (w + pad) + pad, c), np.float32)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y0, x0 = pad + r * (h + pad), pad + col * (w + pad)
+        grid[y0:y0 + h, x0:x0 + w] = ims[i]
+    return grid

@@ -148,3 +148,34 @@ def test_sample_tiles_sharded_over_mesh():
                                     chop_size=16, chop_stride=12)
     assert out.shape == (1, 128, 128, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_batch_sharded_over_mesh():
+    """Batch-axis DP inference over the mesh (reference's rank-sliced
+    dataloader batches, sampler.py:267-283).
+
+    Exact sharded-vs-unsharded value equality is not a sound check here:
+    bf16 reduction order differs per partitioning and the VQ argmin then
+    amplifies LSB differences chaotically.  What must hold exactly:
+      * a non-multiple batch pads to the device count and crops back;
+      * identical inputs with `noise_repeat` produce identical rows even
+        though each row runs on a different device;
+      * the call is deterministic for a fixed key.
+    """
+    from resshift_tpu.parallel.mesh import make_mesh
+
+    pipe = ResShiftPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    one = np.random.default_rng(5).uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+    lq = jnp.asarray(np.repeat(one, 6, axis=0))  # 6 identical images, 8 devices
+    key = jax.random.PRNGKey(3)
+    got = pipe.sample_batch_sharded(params, lq, key, mesh, noise_repeat=True)
+    assert got.shape == (6, 64, 64, 3)
+    g = np.asarray(got)
+    assert np.isfinite(g).all()
+    for j in range(1, 6):  # every device computed the same thing
+        np.testing.assert_array_equal(g[j], g[0])
+    again = np.asarray(pipe.sample_batch_sharded(params, lq, key, mesh,
+                                                 noise_repeat=True))
+    np.testing.assert_array_equal(g, again)

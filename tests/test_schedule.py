@@ -61,14 +61,43 @@ def test_schedule_constants_realsr15():
 
 
 def test_space_timesteps():
-    # respace.py:17 — int((T/n)*x)
+    # respace.py:6-18 — section algorithm: one section of n keeps n steps
+    # evenly strided over [0, T-1]
     assert space_timesteps(15, 15) == list(range(15))
-    assert space_timesteps(1000, 4) == [0, 250, 500, 750]
+    assert space_timesteps(1000, 4) == [0, 333, 666, 999]
     sched = build_schedule(steps=1000, min_noise_level=0.01, kappa=1.0, timestep_respacing=4)
     assert sched.num_timesteps == 4
-    np.testing.assert_array_equal(np.asarray(sched.timestep_map), [0, 250, 500, 750])
+    np.testing.assert_array_equal(np.asarray(sched.timestep_map), [0, 333, 666, 999])
     full = _golden_sqrt_etas(1000, 0.01, 0.99, 1.0, 0.3)
-    np.testing.assert_allclose(np.asarray(sched.sqrt_etas), full[[0, 250, 500, 750]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.sqrt_etas), full[[0, 333, 666, 999]], rtol=1e-6)
+
+
+def test_space_timesteps_ddim_and_sections():
+    """The reference's "ddimN" and section-list forms (respace.py:6-18)."""
+    # ddimN: uniform stride with exactly N steps
+    assert space_timesteps(1000, "ddim4") == [0, 250, 500, 750]
+    assert space_timesteps(100, "ddim10") == list(range(0, 100, 10))
+    with np.testing.assert_raises(ValueError):
+        space_timesteps(10, "ddim7")  # no integer stride gives 7 of 10
+    # section list: 100 split into two 50s, keeping 2 and 3
+    got = space_timesteps(100, [2, 3])
+    assert got == [0, 49, 50, 74, 99]  # stride 49 then 24.5 within [50,100)
+    assert space_timesteps(100, "2,3") == got
+    # single-count section <= 1
+    assert space_timesteps(10, [1]) == [0]
+
+
+def test_ldm_mat_schedule(tmp_path):
+    """schedule_name='ldm' reads sqrt_etas from a .mat file
+    (gaussian_diffusion.py:59-63)."""
+    import scipy.io as sio
+
+    vals = np.linspace(0.1, 0.9, 7)
+    sio.savemat(tmp_path / "s.mat", {"sqrt_etas": vals})
+    sched = build_schedule(schedule_name="ldm", mat_path=str(tmp_path / "s.mat"),
+                           kappa=1.0)
+    assert sched.num_timesteps == 7
+    np.testing.assert_allclose(np.asarray(sched.sqrt_etas), vals, rtol=1e-6)
 
 
 def test_q_sample_and_posterior_roundtrip():

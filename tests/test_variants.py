@@ -87,11 +87,13 @@ def test_ddpm_schedule_golden():
     np.testing.assert_allclose(
         np.asarray(s.posterior_mean_coef1),
         betas * np.sqrt(acp_prev) / (1 - acp), rtol=1e-5)
-    # respaced: cumprod must be preserved at kept steps (respace.py:78-89)
+    # respaced: cumprod must be preserved at kept steps (respace.py:78-89);
+    # the kept indices follow the reference's section algorithm
+    # (respace.py:6-18): one section of 4 -> stride (100-1)/3
     s4 = build_ddpm_schedule(steps=100, beta_start=0.0001, beta_end=0.02,
                              timestep_respacing=4)
     np.testing.assert_allclose(np.asarray(s4.alphas_cumprod),
-                               acp[[0, 25, 50, 75]], rtol=1e-5)
+                               acp[[0, 33, 66, 99]], rtol=1e-5)
 
 
 def test_ddpm_and_ddim_sampling():
