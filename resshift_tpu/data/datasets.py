@@ -77,10 +77,26 @@ class BaseData:
 
     def __init__(self, dir_path=None, txt_path=None, mean=0.5, std=0.5,
                  extra_dir_path=None, length=None, need_path=False,
-                 im_exts=None, recursive=False, seed=0, **_):
-        self.paths = _collect_paths(dir_path=dir_path, txt_path=txt_path,
-                                    recursive=recursive, length=length,
-                                    rng=np.random.default_rng(seed))
+                 im_exts=None, recursive=False, seed=0, pack_path=None,
+                 extra_pack_path=None, **_):
+        if pack_path:
+            # packed-dataset backend (native mmap reader; the reference's
+            # FileClient lmdb role — data/file_client.py)
+            from .file_client import FileClient
+
+            self.client = FileClient("pack", pack_path)
+            self.paths = sorted(self.client.keys())
+            if length is not None:
+                rng = np.random.default_rng(seed)
+                self.paths = [self.paths[i] for i in
+                              rng.permutation(len(self.paths))[:length]]
+            self.extra_client = (FileClient("pack", extra_pack_path)
+                                 if extra_pack_path else None)
+        else:
+            self.client = self.extra_client = None
+            self.paths = _collect_paths(dir_path=dir_path, txt_path=txt_path,
+                                        recursive=recursive, length=length,
+                                        rng=np.random.default_rng(seed))
         self.mean, self.std = mean, std
         self.extra_dir_path = extra_dir_path
         self.need_path = need_path
@@ -90,9 +106,12 @@ class BaseData:
 
     def __getitem__(self, i):
         p = self.paths[i]
-        im = _normalize(imread(p), self.mean, self.std)
+        im = (self.client.imread(p) if self.client is not None else imread(p))
+        im = _normalize(im, self.mean, self.std)
         out = {"lq": im, "image": im}
-        if self.extra_dir_path is not None:
+        if self.extra_client is not None:
+            out["gt"] = _normalize(self.extra_client.imread(p), self.mean, self.std)
+        elif self.extra_dir_path is not None:
             gt = imread(Path(self.extra_dir_path) / Path(p).name)
             out["gt"] = _normalize(gt, self.mean, self.std)
         if self.need_path:
@@ -112,10 +131,20 @@ class RealESRGANData:
                  betag_range2=(0.5, 4.0), betap_range2=(1, 2.0),
                  final_sinc_prob=0.8, gt_size=256, crop_pad_size=300,
                  use_hflip=True, use_rot=False, rescale_gt=True, length=None,
-                 mode="training", seed=0, **_):
+                 mode="training", seed=0, pack_path=None, **_):
         self.rng = np.random.default_rng(seed)
-        self.paths = _collect_paths(dir_paths=dir_paths, txt_file_path=txt_file_path,
-                                    length=length, rng=self.rng)
+        if pack_path:
+            from .file_client import FileClient
+
+            self.client = FileClient("pack", pack_path)
+            self.paths = sorted(self.client.keys())
+            if length is not None:
+                self.paths = [self.paths[i] for i in
+                              self.rng.permutation(len(self.paths))[:length]]
+        else:
+            self.client = None
+            self.paths = _collect_paths(dir_paths=dir_paths, txt_file_path=txt_file_path,
+                                        length=length, rng=self.rng)
         d = ["iso", "aniso", "generalized_iso", "generalized_aniso",
              "plateau_iso", "plateau_aniso"]
         dp = [0.45, 0.25, 0.12, 0.03, 0.12, 0.03]
@@ -138,12 +167,13 @@ class RealESRGANData:
     def _load_gt(self, i):
         # IO retry loop (realesrgan_dataset.py:109-126)
         rng = self.rng
+        read = (self.client.imread if self.client is not None else imread)
         for _ in range(3):
             try:
-                return imread(self.paths[i])
+                return read(self.paths[i])
             except Exception:
                 i = int(rng.integers(len(self.paths)))
-        return imread(self.paths[i])
+        return read(self.paths[i])
 
     def _draw_kernel(self, spec) -> np.ndarray:
         rng = self.rng

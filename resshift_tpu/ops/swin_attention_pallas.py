@@ -41,6 +41,8 @@ _TM = 16  # windows per kernel block (tuned on v5e: 16 beats 8 by ~6%)
 def pallas_available() -> bool:
     if not _PALLAS_OK:
         return False
+    if os.environ.get("RSTPU_NO_PALLAS"):  # global kill switch (perf A/B)
+        return False
     try:
         # honor an active jax.default_device(...) override (e.g. params are
         # initialized on host CPU while the model later runs on TPU)

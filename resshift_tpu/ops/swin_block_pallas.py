@@ -53,6 +53,8 @@ _CROSS_MASK = -1e9
 def pallas_available() -> bool:
     if not _PALLAS_OK:
         return False
+    if os.environ.get("RSTPU_NO_PALLAS"):  # global kill switch (perf A/B)
+        return False
     try:
         dd = jax.config.jax_default_device
         if dd is not None:

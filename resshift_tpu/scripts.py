@@ -87,6 +87,21 @@ def prepare_testing_celeba_faceir(source: str, out: str, sf: int = 4,
     print(f"wrote {len(files)} pairs to {out}")
 
 
+def pack_folder(source: str, out: str, recursive: bool = True) -> int:
+    """Pack a folder of images into a PackFile (the native IO runtime's
+    flat-file dataset format — data/packfile.py, native/packfile.cpp)."""
+    from .data.packfile import PackWriter
+    from .utils.image_io import list_images
+
+    files = list_images(source, recursive=recursive)
+    src = Path(source)
+    with PackWriter(out) as w:
+        for f in files:
+            w.add(str(f.relative_to(src)), f.read_bytes())
+    print(f"packed {len(files)} blobs -> {out}")
+    return len(files)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="resshift_tpu.scripts")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,9 +116,14 @@ def main(argv=None):
     b.add_argument("--sf", type=int, default=4)
     b.add_argument("--num-images", type=int, default=None)
     b.add_argument("--seed", type=int, default=10000)
+    c = sub.add_parser("pack", help="pack an image folder into a PackFile")
+    c.add_argument("--source", required=True)
+    c.add_argument("--out", required=True)
     args = p.parse_args(argv)
     if args.cmd == "imagenet-sr":
         prepare_testing_imagenet_sr(args.source, args.out, args.num_images, args.seed)
+    elif args.cmd == "pack":
+        pack_folder(args.source, args.out)
     else:
         prepare_testing_celeba_faceir(args.source, args.out, args.sf,
                                       args.num_images, args.seed)

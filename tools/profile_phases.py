@@ -103,11 +103,25 @@ def main():
         lq = jax.random.uniform(k, (B, TILE, TILE, 3), jnp.float32, -1, 1) + 1e-6 * carry
         return pipe._sample_tile(p, lq, k)
 
+    # ---------------- VQ quantizer alone ----------------
+    def quant_body(p, k, carry):
+        z = jax.random.normal(k, (B, lat_h, lat_w, 3), jnp.float32) + 1e-6 * carry
+        return pipe.vq.apply({"params": p["vqgan"]}, z,
+                             method=lambda m, zz: m.quantize(zz))
+
+    # ---------------- decoder without quantization ----------------
+    def dec_nq_body(p, k, carry):
+        z = jax.random.normal(k, (B, lat_h, lat_w, 3), jnp.float32) + 1e-6 * carry
+        return pipe.vq.apply({"params": p["vqgan"]}, z,
+                             method=lambda m, zz: m.decode(zz, True))
+
     phases = [
         ("encode", enc_body),
         ("unet_1step", unet1_body),
         ("unet_15steps", unet_body),
         ("decode", dec_body),
+        ("vq_quant", quant_body),
+        ("decode_noquant", dec_nq_body),
         ("full", full_body),
     ]
 
