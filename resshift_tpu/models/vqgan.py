@@ -253,12 +253,11 @@ class VectorQuantizer(nn.Module):
         )
         zf = z.astype(jnp.float32)
         flat = zf.reshape(-1, self.e_dim)
-        d = (
-            jnp.sum(flat**2, axis=1, keepdims=True)
-            + jnp.sum(emb**2, axis=1)[None]
-            - 2.0 * flat @ emb.T
-        )
-        idx = jnp.argmin(d, axis=1)
+        # nearest-codebook search: Pallas index-only kernel on TPU (avoids
+        # the (rows, n_e) distance-matrix HBM round trip), XLA elsewhere
+        from ..ops.vq_pallas import nearest_codebook_indices
+
+        idx = nearest_codebook_indices(flat, emb)
         z_q = emb[idx].reshape(zf.shape)
         # straight-through estimator
         z_q = zf + jax.lax.stop_gradient(z_q - zf)

@@ -155,3 +155,25 @@ def test_fused_swin_block_grads_match_xla():
     g_got = vjp(2 * out)[0]
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_vq_nearest_codebook_interpret(monkeypatch):
+    """Index-only VQ search kernel == full-distance-matrix argmin."""
+    from resshift_tpu.ops import vq_pallas as vqp
+
+    if not vqp._PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(vqp, "pallas_available", lambda: True)
+    monkeypatch.setattr(vqp.pl, "pallas_call",
+                        functools.partial(vqp.pl.pallas_call, interpret=True))
+    key = jax.random.PRNGKey(0)
+    flat = jax.random.normal(key, (700, 3), jnp.float32)  # non-multiple of tb
+    emb = jax.random.normal(jax.random.fold_in(key, 1), (128, 3), jnp.float32)
+    got = vqp.nearest_codebook_indices(flat, emb)
+    want = vqp.nearest_codebook_indices_xla(flat, emb)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # tie -> first index, matching jnp/torch argmin
+    flat2 = jnp.concatenate([emb[5:6], emb[5:6]], axis=0)
+    emb2 = jnp.concatenate([emb, emb], axis=0)  # duplicate codebook rows
+    got2 = vqp.nearest_codebook_indices(flat2, emb2)
+    np.testing.assert_array_equal(np.asarray(got2), [5, 5])
