@@ -158,8 +158,26 @@ def _resolve(node: Any, root: dict) -> Any:
     return node
 
 
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_yaml_config(path: str | Path) -> dict:
-    """YAML config with OmegaConf-style `${a.b.c}` interpolation."""
+    """YAML config with OmegaConf-style `${a.b.c}` interpolation.
+
+    A top-level `base_task: <name>` key deep-merges the file over the
+    built-in task config (so shipped YAMLs only carry data/train blocks,
+    replacing the reference's full-model-spec YAML duplication).
+    """
     with open(path) as f:
         raw = yaml.safe_load(f)
+    base = raw.pop("base_task", None)
+    if base:
+        raw = _deep_merge(task_config(base), raw)
     return _resolve(raw, raw)

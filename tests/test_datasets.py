@@ -170,3 +170,48 @@ def test_prepare_testing_scripts(tmp_path):
     scripts.prepare_testing_imagenet_sr(
         f"{TD}/Bicubicx4/gt", str(tmp_path / "sr"), num_images=2, seed=0)
     assert len(list((tmp_path / "sr" / "lq").glob("*.png"))) == 2
+
+
+def test_transform_registry():
+    """get_transforms API parity (reference datapipe/datasets.py:50-121):
+    all 8 types exist and produce the reference's shapes/normalization."""
+    import numpy as np
+
+    from resshift_tpu.data.transforms import get_transforms
+
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 1, (40, 48, 3)).astype(np.float32)
+
+    t = get_transforms("default", {"mean": 0.5, "std": 0.5})
+    out = t(im)
+    np.testing.assert_allclose(out, im * 2 - 1, atol=1e-6)
+
+    out = get_transforms("bicubic_norm", {"scale": 0.5})(im)
+    assert out.shape == (20, 24, 3) and out.min() >= -1 - 1e-6
+
+    out = get_transforms("bicubic_back_norm", {"scale": 0.5})(im)
+    assert out.shape == im.shape
+
+    out = get_transforms("resize_ccrop_norm", {"size": 32})(im)
+    assert out.shape == (32, 32, 3)
+
+    out = get_transforms("rcrop_aug_norm", {"pch_size": 16})(
+        im, np.random.default_rng(1))
+    assert out.shape == (16, 16, 3)
+
+    out = get_transforms("aug_norm", {"only_hflip": True})(
+        im, np.random.default_rng(2))
+    assert out.shape == im.shape
+
+    out = get_transforms("lama_distortions", {"pch_size": 32})(
+        (im * 255).astype(np.uint8), np.random.default_rng(3))
+    assert out.shape == (32, 32, 3) and 0 <= out.min() and out.max() <= 1
+
+    out = get_transforms("rgb2gray", {})(im)
+    assert out.shape == im.shape
+    np.testing.assert_allclose(out[..., 0], out[..., 1], atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_transforms("nope", {})
