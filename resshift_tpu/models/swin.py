@@ -14,10 +14,13 @@ Mirrors the reference's `models/swin_transformer.py`:
     resolution (config image_size), NOT the runtime shape (:191-195); at
     runtime only the mask adapts.  GELU is exact (erf), matching torch.
 
-TPU notes: window partition is a reshape+transpose XLA handles well; the
-attention einsums run on the MXU batched over (B * num_windows).  A fused
-Pallas kernel is provided in `resshift_tpu.ops.attention_pallas` and can be
-enabled with `use_pallas=True`.
+TPU execution: each BasicLayer window-partitions ONCE into a (B, T, C)
+token layout; every block then runs as two fused Pallas kernels
+(`ops.swin_block_pallas`: norm+attention+residual, norm+MLP+residual) with
+the shifted layout applied as a static token permutation — see the
+SwinTransformerBlock docstring.  The standalone `WindowAttention` module
+(XLA or the `ops.swin_attention_pallas` kernel) remains as the
+attention-only public API and the parity baseline.
 """
 
 from __future__ import annotations
