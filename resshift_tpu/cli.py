@@ -62,6 +62,18 @@ def _load_params(pipe, args):
 
     name = args.task if args.task != "realsr" else f"realsr_{args.version}"
     urls = CKPT_URLS.get(name)
+    if urls:
+        # auto-fetch like the reference (inference_resshift.py:125-139) when
+        # the environment has egress / the user opted in
+        try:
+            from .utils.download import load_file_from_url
+
+            up = load_file_from_url(urls[0])
+            vp = load_file_from_url(urls[1])
+            print(f"Using downloaded checkpoints: {up}, {vp}", file=sys.stderr)
+            return pipe.load_torch_checkpoints(str(up), str(vp))
+        except FileNotFoundError:
+            pass
     print(f"WARNING: no --ckpt given; using RANDOM weights (demo/benchmark only).\n"
           f"Download the released checkpoints out-of-band:\n  unet:  {urls[0] if urls else '?'}\n"
           f"  vqgan: {urls[1] if urls else '?'}", file=sys.stderr)

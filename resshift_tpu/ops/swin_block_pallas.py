@@ -192,10 +192,12 @@ def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
     bsz, t, c = x.shape
     nw = bias_mask.shape[0]
     t_win = t // n_win  # windows per image
-    # tokens per block: ~1024, whole windows, divides T
+    # tokens per block: whole windows, divides T; ~1024 tokens balances VMEM
+    # (f32 score tiles) against per-block weight DMA (sweepable via env)
+    budget = int(os.environ.get("RSTPU_SWIN_TB", "1024"))
     tmw = t_win
-    for cand in (16, 8, 4, 2, 1):
-        if t_win % cand == 0 and cand * n_win <= 1024:
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if t_win % cand == 0 and cand * n_win <= budget:
             tmw = cand
             break
     tb = tmw * n_win
@@ -308,7 +310,7 @@ def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 def _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2):
     bsz, t, c = x.shape
     hidden = w1.shape[1]
-    tb = 1024
+    tb = int(os.environ.get("RSTPU_SWIN_TB", "1024"))
     while t % tb:
         tb //= 2
     grid = (bsz, t // tb)

@@ -95,3 +95,21 @@ def test_cli_train_from_yaml(tmp_path):
           "--fp32", "--seed", "0"])
     assert (tmp_path / "run" / "ckpts" / "step_00000002").exists()
     assert (tmp_path / "run" / "train_log.jsonl").exists()
+
+
+def test_load_file_from_url(tmp_path, monkeypatch):
+    """download_util parity: cached file returned; without opt-in the
+    fetch is refused with actionable instructions."""
+    import pytest
+
+    from resshift_tpu.utils.download import load_file_from_url
+
+    url = "https://example.com/releases/model_v3.pth"
+    # cached file short-circuits
+    (tmp_path / "model_v3.pth").write_bytes(b"x")
+    p = load_file_from_url(url, model_dir=tmp_path)
+    assert p.read_bytes() == b"x"
+    # missing + downloads disabled -> clear error
+    monkeypatch.delenv("RSTPU_ALLOW_DOWNLOAD", raising=False)
+    with pytest.raises(FileNotFoundError, match="out-of-band"):
+        load_file_from_url("https://example.com/none.pth", model_dir=tmp_path)
