@@ -144,7 +144,16 @@ def cmd_infer(args):
             mask = np.concatenate(ms, axis=0)
         k = jax.random.fold_in(key, n_done)
         t0 = time.perf_counter()
-        if n_dev > 1 and lq.shape[0] > 1:
+        if args.time_parallel and lq.shape[1] <= pipe.chop_size \
+                and lq.shape[2] <= pipe.chop_size:
+            # Picard-parallel reverse chain: the denoiser runs `sweeps`
+            # times on a (T*B) batch sharded over the mesh instead of T
+            # sequential times (latency mode; approximate below sweeps=T)
+            sr = pipe.sample_time_parallel(
+                params, jax.numpy.asarray(lq), k,
+                mask=None if mask is None else jax.numpy.asarray(mask),
+                sweeps=args.time_parallel, mesh=mesh if n_dev > 1 else None)
+        elif n_dev > 1 and lq.shape[0] > 1:
             # shard the image batch over the mesh's data axis
             sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh,
                                            mask=None if mask is None else jax.numpy.asarray(mask),
@@ -371,6 +380,9 @@ def make_parser() -> argparse.ArgumentParser:
     pi.add_argument("--chop-bs", type=int, default=1)
     pi.add_argument("--bs", type=int, default=1)
     pi.add_argument("--noise-repeat", action="store_true")
+    pi.add_argument("--time-parallel", type=int, default=0, metavar="SWEEPS",
+                    help="Picard-parallel sampling with this many sweeps "
+                         "(latency mode; sweeps = steps is exact)")
     pi.set_defaults(fn=cmd_infer)
 
     pe = sub.add_parser("eval", help="README reproduce protocols "

@@ -272,6 +272,58 @@ class ResShiftPipeline:
 
         return out[:, :h * self.sf, :w * self.sf, :]
 
+    def sample_time_parallel(self, params, lq, key, mask=None, *,
+                             sweeps: int | None = None, mesh=None):
+        """Latency-oriented sampler: Picard-parallel reverse chain
+        (rs.sample_loop_parallel).  The denoiser runs once per sweep on a
+        (T*B) batch — sharded over the mesh's data axis when `mesh` is given
+        — instead of T sequential times; `sweeps=T` is exactly
+        :meth:`sample`, `sweeps≈T/3` is the paper's operating point.
+        Input must fit one tile (no chopping).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = 1 if mesh is None else len(mesh.devices.ravel())
+        sig = ("tpar", lq.shape, None if mask is None else mask.shape,
+               sweeps, n_dev)
+        if sig not in self._jit_cache:
+            shard_fn = None
+            if mesh is not None:
+                shd = NamedSharding(mesh, P("data"))
+
+                def shard_fn(x):
+                    return jax.lax.with_sharding_constraint(x, shd)
+
+            def fn(params, lq, mask, key):
+                params = self._compute_params(params)
+                z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
+                model_kwargs = {}
+                if self.cond_lq:
+                    model_kwargs["lq"] = lq
+                if self.cond_mask and mask is not None:
+                    model_kwargs["mask"] = mask
+
+                def model_fn(x, t_orig, **kw):
+                    return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)
+
+                # same PRNG consumption as _sample_tile, so sweeps=T
+                # reproduces `sample` exactly
+                key2, kprior = jax.random.split(key)
+                noise = jax.random.normal(kprior, z_y.shape, dtype=jnp.float32)
+                z0 = rs.sample_loop_parallel(
+                    self.sched, model_fn, z_y, key2, sweeps=sweeps, noise=noise,
+                    clip_denoised=(self.vq is None), model_kwargs=model_kwargs,
+                    shard_fn=shard_fn,
+                )
+                img = self._decode(params.get("vqgan"), z0)
+                return jnp.clip(img, -1.0, 1.0)
+
+            self._jit_cache[sig] = jax.jit(fn)
+        if mesh is not None:
+            with mesh:
+                return self._jit_cache[sig](params, lq, mask, key)
+        return self._jit_cache[sig](params, lq, mask, key)
+
     def sample_progressive(self, params, lq, key, mask=None):
         """Reverse chain that also returns the decoded per-step x0 predictions
         (T, B, H*sf, W*sf, C) — the reference's progressive-sampling strip

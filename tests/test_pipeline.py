@@ -179,3 +179,62 @@ def test_sample_batch_sharded_over_mesh():
     again = np.asarray(pipe.sample_batch_sharded(params, lq, key, mesh,
                                                  noise_repeat=True))
     np.testing.assert_array_equal(g, again)
+
+
+def test_time_parallel_sampler_exact_at_full_sweeps():
+    """Picard-parallel sampling (rs.sample_loop_parallel): with sweeps = T
+    the triangular fixed point is reached exactly, matching sample_loop
+    bit-for-bit (same PRNG consumption); fewer sweeps approach it."""
+    from resshift_tpu.diffusion import build_schedule
+    from resshift_tpu.diffusion import resshift as rs
+
+    sched = build_schedule(steps=6, min_noise_level=0.2, kappa=2.0, sf=4)
+
+    def model_fn(x, t, **kw):  # toy xstart predictor with t-dependence
+        return 0.8 * x - 0.05 * t.astype(jnp.float32).reshape(-1, 1, 1, 1) * kw["lq"]
+
+    key = jax.random.PRNGKey(4)
+    z_y = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    kwargs = {"lq": z_y * 0.5}
+    want = rs.sample_loop(sched, model_fn, z_y, jax.random.PRNGKey(7),
+                          clip_denoised=False, model_kwargs=kwargs)
+    got = rs.sample_loop_parallel(sched, model_fn, z_y, jax.random.PRNGKey(7),
+                                  sweeps=6, clip_denoised=False,
+                                  model_kwargs=kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # fewer sweeps: monotone approach to the fixed point
+    errs = []
+    for s in (2, 4, 6):
+        g = rs.sample_loop_parallel(sched, model_fn, z_y, jax.random.PRNGKey(7),
+                                    sweeps=s, clip_denoised=False,
+                                    model_kwargs=kwargs)
+        errs.append(float(jnp.abs(g - want).max()))
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 1e-5
+
+
+def test_time_parallel_pipeline_over_mesh():
+    """pipeline.sample_time_parallel shards the (T*B) batch over the mesh
+    and converges to the sequential sampler at sweeps=T."""
+    from resshift_tpu.parallel.mesh import make_mesh
+
+    # f32: bf16 LSBs would amplify chaotically through the VQ argmin and
+    # defeat value comparisons (see test_sample_batch_sharded_over_mesh)
+    pipe = ResShiftPipeline(tiny_config(), dtype=jnp.float32)  # 4 steps
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    lq = jnp.asarray(np.random.default_rng(3).uniform(
+        -1, 1, (2, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    got = pipe.sample_time_parallel(params, lq, key, sweeps=4, mesh=mesh)
+    assert got.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(got)).all()
+    # determinism
+    again = pipe.sample_time_parallel(params, lq, key, sweeps=4, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(again))
+    # sweeps=T == the sequential sampler (same PRNG consumption)
+    got_local = pipe.sample_time_parallel(params, lq, key, sweeps=4)
+    want = pipe.sample(params, lq, key)
+    np.testing.assert_allclose(np.asarray(got_local), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
