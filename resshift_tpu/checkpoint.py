@@ -14,7 +14,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["save_params", "load_params", "save_train_state", "restore_train_state"]

@@ -23,7 +23,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas TPU backend is unavailable on CPU test runs
     from jax.experimental import pallas as pl
@@ -144,12 +143,10 @@ def _group_bias(bias_mask: jnp.ndarray, gw: int) -> jnp.ndarray:
     nw, nh, n, _ = bias_mask.shape
     ns = gw * n
     if nw == 1:
-        parts = [bias_mask[0]] * gw
         nw2 = 1
     else:
         assert nw % gw == 0, (nw, gw)
         nw2 = nw // gw
-        parts = None
     out = jnp.full((nw2, nh, ns, ns), _CROSS_MASK, bias_mask.dtype)
     for g in range(gw):
         sl = slice(g * n, (g + 1) * n)

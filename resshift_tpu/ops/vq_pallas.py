@@ -15,8 +15,6 @@ in XLA — tiny and autodiff-friendly.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

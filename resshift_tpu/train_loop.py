@@ -30,7 +30,6 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,7 @@ from .data.realesrgan import DegradationConfig, RealESRGANDegrader
 from .ops.metrics import batch_psnr, batch_ssim
 from .parallel.mesh import data_parallel_shardings, make_mesh
 from .pipeline import ResShiftPipeline
-from .trainer import State, TrainConfig, create_state, make_train_step
+from .trainer import TrainConfig, create_state, make_train_step
 from .utils.image_io import from_model, imwrite, make_grid
 
 
