@@ -83,8 +83,25 @@ def zeros_init():
     return nn.initializers.zeros
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter holder matching nn.Conv's {kernel, bias} tree so checkpoint
+    conversion is unchanged when the conv itself runs through a fused op."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class Upsample(nn.Module):
-    """Nearest 2x + optional 3x3 conv (models/unet.py:53-81)."""
+    """Nearest 2x + optional 3x3 conv (models/unet.py:53-81).
+
+    Executed as four low-res 2x2 phase convs (ops/upsample.py): same math,
+    2.25x fewer MACs, and no 4x-size pre-conv intermediate in HBM."""
 
     channels: int
     use_conv: bool
@@ -93,12 +110,13 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        if self.use_conv:
-            x = nn.Conv(self.out_channels or self.channels, (3, 3), padding=1,
-                        dtype=self.dtype, name="conv")(x)
-        return x
+        if not self.use_conv:
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        from ..ops.upsample import upsample_nearest_conv3x3
+
+        out_ch = self.out_channels or self.channels
+        kernel, bias = _Conv3x3Params(out_ch, name="conv")(x.shape[-1])
+        return upsample_nearest_conv3x3(x, kernel, bias, compute_dtype=self.dtype)
 
 
 class Downsample(nn.Module):
@@ -144,12 +162,17 @@ class ResBlock(nn.Module):
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
         if self.up:
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            # conv(nearest2x(h)) via the fused phase decomposition
+            from ..ops.upsample import upsample_nearest_conv3x3
+
+            kernel, bias = _Conv3x3Params(out_ch, name="in_conv")(h.shape[-1])
+            h = upsample_nearest_conv3x3(h, kernel, bias, compute_dtype=self.dtype)
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        elif self.down:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        else:
+            if self.down:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,

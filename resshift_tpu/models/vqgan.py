@@ -123,16 +123,22 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
+    """Nearest 2x + 3x3 conv (model.py:50-66), run as four low-res 2x2 phase
+    convs (ops/upsample.py) — same math, 2.25x fewer MACs."""
+
     in_channels: int
     with_conv: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        if self.with_conv:
-            x = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
-        return x
+        if not self.with_conv:
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        from ..ops.upsample import upsample_nearest_conv3x3
+        from .layers import _Conv3x3Params
+
+        kernel, bias = _Conv3x3Params(self.in_channels, name="conv")(x.shape[-1])
+        return upsample_nearest_conv3x3(x, kernel, bias, compute_dtype=self.dtype)
 
 
 class Encoder(nn.Module):

@@ -66,19 +66,66 @@ class Predictor:
         return sr
 
 
+_DEMO_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>ResShift-TPU demo</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:880px;margin:2rem auto;padding:0 1rem}
+ .row{display:flex;gap:1rem;flex-wrap:wrap}
+ .row>div{flex:1;min-width:300px}
+ img{max-width:100%%;border:1px solid #ccc;border-radius:4px}
+ button{padding:.5rem 1.2rem;font-size:1rem;cursor:pointer}
+ #status{color:#666;margin-left:1rem}
+</style></head><body>
+<h2>ResShift-TPU &mdash; image restoration (task: %(task)s)</h2>
+<p>Upload a low-quality image; the server runs the full diffusion sampler
+on TPU and returns the restored result.</p>
+<p><input type="file" id="file" accept="image/*">
+   <button id="go" disabled>Restore</button><span id="status"></span></p>
+<div class="row">
+ <div><h4>Input</h4><img id="in"></div>
+ <div><h4>Output</h4><img id="out"></div>
+</div>
+<script>
+const f=document.getElementById('file'),go=document.getElementById('go'),
+      st=document.getElementById('status');
+let data=null;
+f.onchange=()=>{const r=new FileReader();
+  r.onload=()=>{data=r.result;document.getElementById('in').src=
+    URL.createObjectURL(f.files[0]);go.disabled=false;};
+  r.readAsArrayBuffer(f.files[0]);};
+go.onclick=async()=>{go.disabled=true;st.textContent='running\\u2026';
+  try{const t0=performance.now();
+    const resp=await fetch('/restore',{method:'POST',body:data});
+    if(!resp.ok)throw new Error(await resp.text());
+    const blob=await resp.blob();
+    document.getElementById('out').src=URL.createObjectURL(blob);
+    st.textContent=((performance.now()-t0)/1000).toFixed(1)+' s';
+  }catch(e){st.textContent='error: '+e.message;}
+  go.disabled=false;};
+</script></body></html>"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     predictor: Predictor = None  # set by serve()
+    task: str = "?"
 
     def do_GET(self):
         if self.path == "/health":
             body = json.dumps({"status": "ok"}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            ctype = "application/json"
+        elif self.path in ("/", "/index.html"):
+            # browser demo page — the reference's Gradio app (app.py) without
+            # the gradio dependency
+            body = (_DEMO_PAGE % {"task": self.task}).encode()
+            ctype = "text/html; charset=utf-8"
         else:
             self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):
         if not self.path.startswith("/restore"):
@@ -120,8 +167,10 @@ class _Handler(BaseHTTPRequestHandler):
 def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | None = None,
           host: str = "0.0.0.0", port: int = 8080):
     _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt)
+    _Handler.task = task
     httpd = ThreadingHTTPServer((host, port), _Handler)
-    print(f"[serve] {task} listening on {host}:{port}", file=sys.stderr)
+    print(f"[serve] {task} listening on {host}:{port} (browser demo at /)",
+          file=sys.stderr)
     httpd.serve_forever()
 
 

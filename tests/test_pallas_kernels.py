@@ -177,3 +177,49 @@ def test_vq_nearest_codebook_interpret(monkeypatch):
     emb2 = jnp.concatenate([emb, emb], axis=0)  # duplicate codebook rows
     got2 = vqp.nearest_codebook_indices(flat2, emb2)
     np.testing.assert_array_equal(np.asarray(got2), [5, 5])
+
+
+@pytest.mark.parametrize("cin,cout,hw", [(8, 16, 6), (16, 16, 8)])
+def test_upsample_phase_decomposition(cin, cout, hw):
+    """Four low-res 2x2 phase convs == literal nearest-2x + SAME 3x3 conv."""
+    from resshift_tpu.ops.upsample import upsample_nearest_conv3x3
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (2, hw, hw, cin), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, cin, cout)) * 0.2
+    b = jax.random.normal(jax.random.fold_in(key, 2), (cout,)) * 0.1
+
+    got = upsample_nearest_conv3x3(x, w, b)
+
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    want = jax.lax.conv_general_dilated(
+        up, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    assert got.shape == (2, 2 * hw, 2 * hw, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_upsample_phase_grads():
+    from resshift_tpu.ops.upsample import upsample_nearest_conv3x3
+
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (1, 4, 4, 8), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 8, 8)) * 0.2
+
+    def f_phase(x, w):
+        return jnp.sum(jnp.square(upsample_nearest_conv3x3(x, w)))
+
+    def f_lit(x, w):
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        y = jax.lax.conv_general_dilated(
+            up, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.square(y))
+
+    g1 = jax.grad(f_phase, argnums=(0, 1))(x, w)
+    g2 = jax.grad(f_lit, argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

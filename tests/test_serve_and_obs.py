@@ -73,5 +73,9 @@ def test_http_serving_roundtrip(monkeypatch):
             assert False
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # browser demo page (app.py-equivalent UI)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "ResShift-TPU" in page and "/restore" in page
     finally:
         httpd.shutdown()

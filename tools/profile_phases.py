@@ -43,7 +43,7 @@ def chain(body, n_iter):
 
     def fn(params, key):
         def step(carry, k):
-            return jnp.mean(body(params, k, carry)), ()
+            return jnp.mean(body(params, k, carry)).astype(jnp.float32), ()
 
         out, _ = jax.lax.scan(step, jnp.float32(0), jax.random.split(key, n_iter))
         return out
