@@ -99,6 +99,39 @@ def shift_permutation(h: int, w: int, ws: int, shift: int) -> tuple[np.ndarray, 
     return perm, inv
 
 
+def shift_tokens(xt: jnp.ndarray, h: int, w: int, ws: int, shift: int,
+                 inverse: bool = False) -> jnp.ndarray:
+    """Apply the roll(-shift)+re-partition permutation with static slices.
+
+    Equivalent to `jnp.take(xt, shift_permutation(...)[0 or 1], axis=1)`
+    (tested).  NOTE: measured SLOWER than the gather on v5e (the concat
+    chain materializes two extra full tensors with relayout copies:
+    17.9 vs 13.4 ms per 64^2 BasicLayer), so SwinTransformerBlock uses the
+    gather; this form is kept as the readable spec of the permutation and
+    for backends where gathers are the bottleneck.
+
+    xt: (B, nW*N, C) window-major tokens.  The window-row axis wraps like
+    jnp.roll: the reference rolls the spatial image (swin:247-262), so
+    tokens crossing the bottom/right edge come from the top/left.
+    """
+    b, t, c = xt.shape
+    nwh, nww = h // ws, w // ws
+    x6 = xt.reshape(b, nwh, nww, ws, ws, c)
+    if not inverse:
+        # out row ri < ws-shift <- same window row ri+shift;
+        # else <- next window-row's rows [0, shift)
+        nxt = jnp.concatenate([x6[:, 1:], x6[:, :1]], axis=1)
+        x6 = jnp.concatenate([x6[:, :, :, shift:], nxt[:, :, :, :shift]], axis=3)
+        nxt = jnp.concatenate([x6[:, :, 1:], x6[:, :, :1]], axis=2)
+        x6 = jnp.concatenate([x6[:, :, :, :, shift:], nxt[:, :, :, :, :shift]], axis=4)
+    else:
+        prv = jnp.concatenate([x6[:, -1:], x6[:, :-1]], axis=1)
+        x6 = jnp.concatenate([prv[:, :, :, ws - shift:], x6[:, :, :, :ws - shift]], axis=3)
+        prv = jnp.concatenate([x6[:, :, -1:], x6[:, :, :-1]], axis=2)
+        x6 = jnp.concatenate([prv[:, :, :, :, ws - shift:], x6[:, :, :, :, :ws - shift]], axis=4)
+    return x6.reshape(b, t, c)
+
+
 @functools.lru_cache(maxsize=64)
 def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """(nW, ws*ws, ws*ws) additive mask of 0 / -100.
@@ -308,15 +341,29 @@ class SwinTransformerBlock(nn.Module):
         dt = self.dtype
         wa, ba = sbp.gn_fold(xt, s1, b1)
         if shift_size > 0:
-            perm, inv = shift_permutation(h, w, ws, shift_size)
-            xs = jnp.take(xt, jnp.asarray(perm), axis=1)
+            import os
+
+            if use_pallas and not os.environ.get("RSTPU_NO_SHIFT_KERNEL"):
+                # VMEM block-copy kernel (~10x the XLA row-gather)
+                from ..ops.shift_pallas import shift_tokens_pallas
+
+                def shift_fn(x, inverse=False):
+                    # positional args: custom_vjp rejects kwargs
+                    return shift_tokens_pallas(x, h, w, ws, shift_size, inverse)
+            else:
+                perm, inv = shift_permutation(h, w, ws, shift_size)
+
+                def shift_fn(x, inverse=False):
+                    return jnp.take(x, jnp.asarray(inv if inverse else perm), axis=1)
+
+            xs = shift_fn(xt)
         else:
             xs = xt
         y = attn_fn(xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
                     wproj.astype(dt), bproj.astype(dt), bias_mask,
                     num_heads=nh, n_win=n)
         if shift_size > 0:
-            y = jnp.take(y, jnp.asarray(inv), axis=1)
+            y = shift_fn(y, inverse=True)
 
         wm, bm = sbp.gn_fold(y, s2, b2)
         return mlp_fn(y, wm, bm, w1.astype(dt), bb1.astype(dt),

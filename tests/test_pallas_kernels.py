@@ -223,3 +223,55 @@ def test_upsample_phase_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("h,w,ws,shift", [(16, 16, 8, 4), (16, 24, 8, 4), (8, 8, 4, 2)])
+def test_shift_tokens_equals_permutation(h, w, ws, shift):
+    """Slice/concat shift == the gather by shift_permutation, both ways."""
+    from resshift_tpu.models.swin import shift_permutation, shift_tokens
+
+    key = jax.random.PRNGKey(3)
+    t = h * w
+    x = jax.random.normal(key, (2, t, 5), jnp.float32)
+    perm, inv = shift_permutation(h, w, ws, shift)
+
+    got_f = shift_tokens(x, h, w, ws, shift)
+    want_f = jnp.take(x, jnp.asarray(perm), axis=1)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+    got_i = shift_tokens(got_f, h, w, ws, shift, inverse=True)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(x))
+    want_i = jnp.take(want_f, jnp.asarray(inv), axis=1)
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(x))
+
+
+@pytest.mark.parametrize("h,w,ws,shift", [(16, 16, 8, 4), (16, 24, 8, 4), (8, 8, 8, 4)])
+def test_shift_tokens_pallas_interpret(monkeypatch, h, w, ws, shift):
+    """Pallas window-row shift kernel == the gather permutation (both ways),
+    and its VJP is the exact inverse permutation."""
+    from resshift_tpu.ops import shift_pallas as sp
+    from resshift_tpu.models.swin import shift_permutation
+
+    if not sp._PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(sp.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, h * w, 8), jnp.float32)
+    perm, inv = shift_permutation(h, w, ws, shift)
+
+    got = sp.shift_tokens_pallas(x, h, w, ws, shift, False)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.take(x, jnp.asarray(perm), axis=1)))
+    back = sp.shift_tokens_pallas(got, h, w, ws, shift, True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    # VJP: grad of sum(f(x) * g) wrt x is inverse-permuted g
+    g = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+    grad = jax.grad(lambda xx: jnp.sum(
+        sp.shift_tokens_pallas(xx, h, w, ws, shift, False) * g))(x)
+    np.testing.assert_array_equal(np.asarray(grad),
+                                  np.asarray(jnp.take(g, jnp.asarray(inv), axis=1)))
