@@ -4,12 +4,14 @@ SwinTransformerBlock applies `roll(-ws/2) + re-partition` to the window-major
 token list before its shifted attention, and the inverse after
 (reference swin_transformer.py:247-276; here a single static permutation —
 models/swin.py:shift_permutation).  As `jnp.take` over 4096+ rows that
-permutation costs ~1.0 ms per application on v5e (XLA lowers it to a real
+permutation costs ~0.9 ms per application on v5e (XLA lowers it to a real
 HBM gather).  But the permutation is local: shifted window-row `wi` draws
-only from unshifted window-rows `wi` and `wi+1`.  This kernel streams one
-window-row block plus its wrap-around neighbor through VMEM and emits the
-permuted block with static slice/concat copies — pure data movement at
-VMEM speed, ~10x faster than the gather, any image size.
+only from unshifted window-rows `wi` and `wi+1`.  This kernel streams a
+group of window-rows plus the one wrap-around neighbor row through VMEM and
+emits the permuted block with static slice/concat copies — pure data
+movement at VMEM speed, any image size.  Blocks pack several window-rows
+(and batch images when the whole image fits) to amortize per-invocation
+grid overhead.
 
 The permutation's transpose is its inverse, so the custom VJP is another
 call with `inverse` flipped — exact, no recompute.
@@ -32,6 +34,8 @@ except Exception:  # pragma: no cover
 
 __all__ = ["shift_tokens_pallas", "pallas_available"]
 
+_BLOCK_BYTES = 2 << 20  # ~2MB of tokens per block (VMEM use ~2x this)
+
 
 def pallas_available() -> bool:
     from .swin_block_pallas import pallas_available as _avail
@@ -39,49 +43,70 @@ def pallas_available() -> bool:
     return _PALLAS_OK and _avail()
 
 
-def _fwd_kernel(cur_ref, nxt_ref, o_ref, *, nww, ws, shift):
-    c = cur_ref.shape[-1]
-    cur = cur_ref[0].reshape(nww, ws, ws, c)
-    nxt = nxt_ref[0].reshape(nww, ws, ws, c)
-    # rows: shifted (wi, ri<ws-s) <- wi rows ri+s; else <- wi+1 rows ri-(ws-s)
-    x = jnp.concatenate([cur[:, shift:], nxt[:, :shift]], axis=1)
-    # cols: same within the assembled row block, wrapping window-columns
-    nc = jnp.concatenate([x[1:], x[:1]], axis=0)
-    x = jnp.concatenate([x[:, :, shift:], nc[:, :, :shift]], axis=2)
-    o_ref[0] = x.reshape(nww * ws * ws, c)
+def _fwd_kernel(cur_ref, nxt_ref, o_ref, *, k, nww, ws, shift):
+    bb, _, c = cur_ref.shape
+    cur = cur_ref[...].reshape(bb, k, nww, ws, ws, c)
+    nxt = nxt_ref[...].reshape(bb, 1, nww, ws, ws, c)
+    # rows: shifted (wi, ri<ws-s) <- wi rows ri+s; else <- wi+1 rows 0..s
+    nrow = jnp.concatenate([cur[:, 1:], nxt], axis=1)
+    x = jnp.concatenate([cur[:, :, :, shift:], nrow[:, :, :, :shift]], axis=3)
+    # cols: same pattern, window-columns wrap within the row
+    nc = jnp.concatenate([x[:, :, 1:], x[:, :, :1]], axis=2)
+    x = jnp.concatenate([x[:, :, :, :, shift:], nc[:, :, :, :, :shift]], axis=4)
+    o_ref[...] = x.reshape(bb, k * nww * ws * ws, c)
 
 
-def _inv_kernel(prv_ref, cur_ref, o_ref, *, nww, ws, shift):
-    c = cur_ref.shape[-1]
-    prv = prv_ref[0].reshape(nww, ws, ws, c)
-    cur = cur_ref[0].reshape(nww, ws, ws, c)
-    x = jnp.concatenate([prv[:, ws - shift:], cur[:, :ws - shift]], axis=1)
-    pc = jnp.concatenate([x[-1:], x[:-1]], axis=0)
-    x = jnp.concatenate([pc[:, :, ws - shift:], x[:, :, :ws - shift]], axis=2)
-    o_ref[0] = x.reshape(nww * ws * ws, c)
+def _inv_kernel(prv_ref, cur_ref, o_ref, *, k, nww, ws, shift):
+    bb, _, c = cur_ref.shape
+    prv = prv_ref[...].reshape(bb, 1, nww, ws, ws, c)
+    cur = cur_ref[...].reshape(bb, k, nww, ws, ws, c)
+    prow = jnp.concatenate([prv, cur[:, :k - 1]], axis=1)
+    x = jnp.concatenate([prow[:, :, :, ws - shift:], cur[:, :, :, :ws - shift]], axis=3)
+    pc = jnp.concatenate([x[:, :, -1:], x[:, :, :-1]], axis=2)
+    x = jnp.concatenate([pc[:, :, :, :, ws - shift:], x[:, :, :, :, :ws - shift]], axis=4)
+    o_ref[...] = x.reshape(bb, k * nww * ws * ws, c)
 
 
 def _call(xt, h, w, ws, shift, inverse):
     b, t, c = xt.shape
     nwh, nww = h // ws, w // ws
-    blk = nww * ws * ws  # one window-row of tokens
+    row = nww * ws * ws  # tokens per window-row
+    row_bytes = row * c * xt.dtype.itemsize
+    # pick rows-per-block k | nwh with k*row_bytes <= _BLOCK_BYTES, then pack
+    # images (bb | b) while the whole image fits in one block
+    k = nwh
+    while k > 1 and (nwh % k or k * row_bytes > _BLOCK_BYTES):
+        k -= 1
+    bb = 1
+    if k == nwh:
+        for cand in (8, 4, 2):
+            if b % cand == 0 and cand * k * row_bytes <= _BLOCK_BYTES:
+                bb = cand
+                break
+    blk = k * row
+
     if inverse:
-        kern = functools.partial(_inv_kernel, nww=nww, ws=ws, shift=shift)
-        maps = [lambda bi, ti: (bi, (ti - 1) % nwh, 0),  # prev window-row
-                lambda bi, ti: (bi, ti, 0)]
+        kern = functools.partial(_inv_kernel, k=k, nww=nww, ws=ws, shift=shift)
+        neigh = lambda bi, ti: (bi, (k * ti - 1) % nwh, 0)
+        specs = [pl.BlockSpec((bb, row, c), neigh, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((bb, blk, c), lambda bi, ti: (bi, ti, 0),
+                              memory_space=pltpu.VMEM)]
+        args = (xt, xt)
     else:
-        kern = functools.partial(_fwd_kernel, nww=nww, ws=ws, shift=shift)
-        maps = [lambda bi, ti: (bi, ti, 0),
-                lambda bi, ti: (bi, (ti + 1) % nwh, 0)]  # next window-row
+        kern = functools.partial(_fwd_kernel, k=k, nww=nww, ws=ws, shift=shift)
+        neigh = lambda bi, ti: (bi, (k * ti + k) % nwh, 0)
+        specs = [pl.BlockSpec((bb, blk, c), lambda bi, ti: (bi, ti, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((bb, row, c), neigh, memory_space=pltpu.VMEM)]
+        args = (xt, xt)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, t, c), xt.dtype),
-        grid=(b, nwh),
-        in_specs=[pl.BlockSpec((1, blk, c), m, memory_space=pltpu.VMEM)
-                  for m in maps],
-        out_specs=pl.BlockSpec((1, blk, c), lambda bi, ti: (bi, ti, 0),
+        grid=(b // bb, nwh // k),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bb, blk, c), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-    )(xt, xt)
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))

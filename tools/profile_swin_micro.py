@@ -79,6 +79,11 @@ def main():
     timeit("gn_tokens", lambda p, c: gn.apply({"params": p["gnp"]}, p["x_tok"] + c.astype(DT)), P)
     timeit("mlp_fc1_fc2", lambda p, c: ((p["x_tok"] + c.astype(DT)).reshape(-1, C) @ p["w1"] @ p["w2"]), P)
     timeit("take_perm", lambda p, c: jnp.take(p["x_tok"] + c.astype(DT), permj, axis=1), P)
+
+    from resshift_tpu.ops.shift_pallas import shift_tokens_pallas
+
+    timeit("shift_kernel", lambda p, c: shift_tokens_pallas(
+        p["x_tok"] + c.astype(DT), HW, HW, 8, 4, False), P)
     timeit("roll_hw", lambda p, c: jnp.roll(p["x_sp"] + c.astype(DT), (-4, -4), (1, 2)), P)
     timeit("partition", lambda p, c: window_partition(p["x_sp"] + c.astype(DT), 8), P)
     timeit("part_rev", lambda p, c: window_reverse(
