@@ -294,7 +294,13 @@ class SwinTransformerBlock(nn.Module):
     use_pallas: bool | None = None
 
     @nn.compact
-    def __call__(self, xt: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    def __call__(self, xt: jnp.ndarray, h: int, w: int,
+                 stats: tuple[jnp.ndarray, jnp.ndarray] | None = None):
+        """xt: (B, T, C) tokens; `stats` = (sum, sumsq) of xt over tokens
+        (f32 (B, C)) if already known — the fused kernels emit the next
+        norm's statistics as a free epilogue, so a BasicLayer computes them
+        explicitly only once, for its first block.  Returns (out, out_stats).
+        """
         from ..ops import swin_block_pallas as sbp
 
         b, t, c = xt.shape
@@ -335,11 +341,13 @@ class SwinTransformerBlock(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = sbp.pallas_available()
-        attn_fn = sbp.norm_attn_residual if use_pallas else sbp.norm_attn_residual_xla
-        mlp_fn = sbp.norm_mlp_residual if use_pallas else sbp.norm_mlp_residual_xla
 
         dt = self.dtype
-        wa, ba = sbp.gn_fold(xt, s1, b1)
+        if stats is None:
+            stats = sbp.token_stats(xt)
+        # token permutations preserve per-image statistics, so the affines
+        # computed here are valid in either layout
+        wa, ba = sbp.fold_stats(stats, s1, b1, t)
         if shift_size > 0:
             import os
 
@@ -359,15 +367,28 @@ class SwinTransformerBlock(nn.Module):
             xs = shift_fn(xt)
         else:
             xs = xt
-        y = attn_fn(xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
-                    wproj.astype(dt), bproj.astype(dt), bias_mask,
-                    num_heads=nh, n_win=n)
+        if use_pallas:
+            y, ys, yq = sbp.norm_attn_residual_stats(
+                xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), bias_mask,
+                num_heads=nh, n_win=n)
+        else:
+            y = sbp.norm_attn_residual_xla(
+                xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), bias_mask,
+                num_heads=nh, n_win=n)
+            ys, yq = sbp.token_stats(y)
         if shift_size > 0:
             y = shift_fn(y, inverse=True)
 
-        wm, bm = sbp.gn_fold(y, s2, b2)
-        return mlp_fn(y, wm, bm, w1.astype(dt), bb1.astype(dt),
-                      w2.astype(dt), bb2.astype(dt))
+        wm, bm = sbp.fold_stats((ys, yq), s2, b2, t)
+        if use_pallas:
+            return sbp.norm_mlp_residual_stats(
+                y, wm, bm, w1.astype(dt), bb1.astype(dt),
+                w2.astype(dt), bb2.astype(dt))
+        z = sbp.norm_mlp_residual_xla(y, wm, bm, w1.astype(dt), bb1.astype(dt),
+                                      w2.astype(dt), bb2.astype(dt))
+        return (z,) + sbp.token_stats(z)
 
 
 def window_partition_tokens(x: jnp.ndarray, ws: int) -> jnp.ndarray:
@@ -416,8 +437,9 @@ class BasicLayer(nn.Module):
         ws = min(res) if min(res) <= self.window_size else self.window_size
         assert h % ws == 0 and w % ws == 0, f"{(h, w)} not divisible by window {ws}"
         xt = window_partition_tokens(x, ws)
+        stats = None  # first block computes them; kernels emit them after
         for i in range(self.depth):
-            xt = SwinTransformerBlock(
+            xt, *stats = SwinTransformerBlock(
                 dim=self.embed_dim,
                 build_resolution=res,
                 num_heads=self.num_heads,
@@ -428,7 +450,7 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(xt, h, w)
+            )(xt, h, w, stats)
         x = window_reverse_tokens(xt, ws, h, w)
         x = nn.Conv(self.in_chans, (1, 1), dtype=self.dtype, name="patch_unembed_proj")(x)
         if self.patch_norm:

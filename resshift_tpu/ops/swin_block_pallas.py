@@ -44,8 +44,9 @@ try:  # pallas TPU backend is unavailable on CPU test runs
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-__all__ = ["gn_fold", "norm_attn_residual", "norm_mlp_residual",
-           "pallas_available"]
+__all__ = ["gn_fold", "token_stats", "fold_stats", "norm_attn_residual",
+           "norm_mlp_residual", "norm_attn_residual_stats",
+           "norm_mlp_residual_stats", "pallas_available"]
 
 _CROSS_MASK = -1e9
 
@@ -66,20 +67,30 @@ def pallas_available() -> bool:
 
 # ------------------------------------------------------------------ GN fold
 
-def gn_fold(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-            num_groups: int = 32, eps: float = 1e-5):
-    """Fold GroupNorm into a per-(image, channel) affine: GN(x) == x*w + b.
+def token_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(image, channel) f32 sum and sum-of-squares over the token axis.
 
-    x: (B, T, C); returns (w, b) f32 of shape (B, C).  Uses the same
-    lane-friendly one-hot-matmul statistics as models.layers.GroupNorm32
-    (fp32 stats — reference models/basic_ops.py:15-17).
-    """
-    b_, t, c = x.shape
+    The `*_stats` fused kernels below produce these same accumulators as a
+    free epilogue while the activation is VMEM-resident; this is the XLA
+    form (one full HBM read of x)."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf, axis=1), jnp.sum(jnp.square(xf), axis=1)
+
+
+def fold_stats(stats: tuple[jnp.ndarray, jnp.ndarray], scale: jnp.ndarray,
+               bias: jnp.ndarray, t: int, num_groups: int = 32,
+               eps: float = 1e-5):
+    """GroupNorm affine (w, b) from per-channel token sums: GN(x) == x*w + b.
+
+    stats: (sum, sumsq), each (B, C) f32 over t tokens.  Group statistics
+    via a lane-friendly (C, G) one-hot matmul (fp32 — reference
+    models/basic_ops.py:15-17)."""
+    s_c, sq_c = stats
+    c = s_c.shape[-1]
     g = min(num_groups, c)
     onehot = jnp.asarray(np.repeat(np.eye(g, dtype=np.float32), c // g, axis=0))
-    xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=1) @ onehot           # (B, G)
-    sq = jnp.sum(jnp.square(xf), axis=1) @ onehot
+    s = s_c @ onehot           # (B, G)
+    sq = sq_c @ onehot
     n = t * (c // g)
     mean_g = s / n
     var_g = jnp.maximum(sq / n - mean_g * mean_g, 0.0)
@@ -89,6 +100,14 @@ def gn_fold(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     w = inv_c * scale[None].astype(jnp.float32)
     b = bias[None].astype(jnp.float32) - mean_c * w
     return w, b
+
+
+def gn_fold(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+            num_groups: int = 32, eps: float = 1e-5):
+    """Fold GroupNorm into a per-(image, channel) affine: GN(x) == x*w + b.
+
+    x: (B, T, C); returns (w, b) f32 of shape (B, C)."""
+    return fold_stats(token_stats(x), scale, bias, x.shape[1], num_groups, eps)
 
 
 # ----------------------------------------------------------- XLA reference
@@ -122,6 +141,18 @@ def norm_mlp_residual_xla(x, w, b, w1, b1, w2, b2):
     return x + (h @ w2.astype(x.dtype) + b2.astype(x.dtype))
 
 
+def norm_attn_residual_stats_xla(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                                 num_heads, n_win):
+    y = norm_attn_residual_xla(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                               num_heads, n_win)
+    return (y,) + token_stats(y)
+
+
+def norm_mlp_residual_stats_xla(x, w, b, w1, b1, w2, b2):
+    y = norm_mlp_residual_xla(x, w, b, w1, b1, w2, b2)
+    return (y,) + token_stats(y)
+
+
 # ------------------------------------------------------------ attn kernel
 
 def _pick_gw(n: int, tmw: int, nw: int) -> int:
@@ -147,8 +178,29 @@ def _group_bias(bias_mask: jnp.ndarray, gw: int) -> jnp.ndarray:
     return out
 
 
+def _accumulate_stats(o_cast, s_ref, q_ref):
+    """Per-block (1, C) f32 sum / sum-sq accumulated across the token-grid
+    axis (output revisiting: the stats block index ignores the last grid
+    dim, so TPU's sequential grid makes += safe)."""
+    yf = o_cast.astype(jnp.float32)
+    bs = jnp.sum(yf, axis=0, keepdims=True)  # (1, C)
+    bq = jnp.sum(jnp.square(yf), axis=0, keepdims=True)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        s_ref[0] = bs
+        q_ref[0] = bq
+
+    @pl.when(ti != 0)
+    def _():
+        s_ref[0] += bs
+        q_ref[0] += bq
+
+
 def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, bm_ref, o_ref, *, num_heads, n_win, gw, tb):
+                 bproj_ref, bm_ref, o_ref, s_ref, q_ref, *, num_heads,
+                 n_win, gw, tb):
     c = x_ref.shape[2]
     nh = num_heads
     hd = c // nh
@@ -184,7 +236,9 @@ def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     out = jnp.concatenate(outs, axis=-1).astype(x.dtype).reshape(tb, c)
     proj = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
     proj = proj + bproj_ref[:].astype(jnp.float32)
-    o_ref[0] = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
+    o_cast = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
+    o_ref[0] = o_cast
+    _accumulate_stats(o_cast, s_ref, q_ref)
 
 
 def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
@@ -230,10 +284,12 @@ def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
                                    memory_space=pltpu.VMEM)
 
     grid = (bsz, t // tb)
-    return pl.pallas_call(
+    y, s, q = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads, n_win=n_win,
                           gw=gw, tb=tb),
-        out_shape=jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
@@ -245,10 +301,15 @@ def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
             bm_spec,
         ],
-        out_specs=pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
     )(x, w.astype(jnp.float32)[:, None], b.astype(jnp.float32)[:, None],
       wqkv, bqkv, wproj, bproj, bm)
+    return y, s[:, 0], q[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -256,12 +317,12 @@ def norm_attn_residual(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
                        num_heads, n_win):
     """Fused GN-affine + W-MSA + residual on (B, T, C) tokens."""
     return _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
-                                          bias_mask, num_heads, n_win)
+                                          bias_mask, num_heads, n_win)[0]
 
 
 def _nar_fwd(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask, num_heads, n_win):
     out = _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
-                                         bias_mask, num_heads, n_win)
+                                         bias_mask, num_heads, n_win)[0]
     return out, (x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
 
 
@@ -274,6 +335,34 @@ def _nar_bwd(num_heads, n_win, res, g):
 
 
 norm_attn_residual.defvjp(_nar_fwd, _nar_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def norm_attn_residual_stats(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                             num_heads, n_win):
+    """norm_attn_residual that also returns (sum, sumsq) of the output over
+    the token axis (f32, (B, C)) — the next GroupNorm's statistics for free,
+    accumulated while the output block is VMEM-resident."""
+    return _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
+                                          bias_mask, num_heads, n_win)
+
+
+def _nars_fwd(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask, num_heads, n_win):
+    out = _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
+                                         bias_mask, num_heads, n_win)
+    return out, (x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
+
+
+def _nars_bwd(num_heads, n_win, res, g):
+    x, w, b, wqkv, bqkv, wproj, bproj, bias_mask = res
+    _, vjp = jax.vjp(
+        lambda *a: norm_attn_residual_stats_xla(*a, num_heads=num_heads,
+                                                n_win=n_win),
+        x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
+    return vjp(g)
+
+
+norm_attn_residual_stats.defvjp(_nars_fwd, _nars_bwd)
 
 
 # ------------------------------------------------------------- MLP kernel
@@ -295,7 +384,8 @@ def _erf_f32(x):
     return s * y
 
 
-def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                s_ref, q_ref):
     x = x_ref[0]  # (TB, C)
     xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
@@ -304,7 +394,9 @@ def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     h = (0.5 * h * (1.0 + _erf_f32(h * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
-    o_ref[0] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+    o_cast = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+    o_ref[0] = o_cast
+    _accumulate_stats(o_cast, s_ref, q_ref)
 
 
 def _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2):
@@ -314,9 +406,11 @@ def _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2):
     while t % tb:
         tb //= 2
     grid = (bsz, t // tb)
-    return pl.pallas_call(
+    y, s, q = pl.pallas_call(
         _mlp_kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
@@ -327,20 +421,25 @@ def _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2):
             pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
     )(x, w.astype(jnp.float32)[:, None], b.astype(jnp.float32)[:, None],
       w1, b1, w2, b2)
+    return y, s[:, 0], q[:, 0]
 
 
 @jax.custom_vjp
 def norm_mlp_residual(x, w, b, w1, b1, w2, b2):
     """Fused GN-affine + fc1 + exact-GELU + fc2 + residual on (B, T, C)."""
-    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)
+    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)[0]
 
 
 def _nmr_fwd(x, w, b, w1, b1, w2, b2):
-    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2), \
+    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)[0], \
         (x, w, b, w1, b1, w2, b2)
 
 
@@ -350,3 +449,23 @@ def _nmr_bwd(res, g):
 
 
 norm_mlp_residual.defvjp(_nmr_fwd, _nmr_bwd)
+
+
+@jax.custom_vjp
+def norm_mlp_residual_stats(x, w, b, w1, b1, w2, b2):
+    """norm_mlp_residual that also returns the output's (sum, sumsq) over
+    tokens (f32, (B, C)) as a free VMEM epilogue."""
+    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)
+
+
+def _nmrs_fwd(x, w, b, w1, b1, w2, b2):
+    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2), \
+        (x, w, b, w1, b1, w2, b2)
+
+
+def _nmrs_bwd(res, g):
+    _, vjp = jax.vjp(norm_mlp_residual_stats_xla, *res)
+    return vjp(g)
+
+
+norm_mlp_residual_stats.defvjp(_nmrs_fwd, _nmrs_bwd)

@@ -129,6 +129,22 @@ def test_fused_swin_block_kernels_interpret(monkeypatch, shift_nw):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-4, atol=2e-5)
 
+    # stats variants: same outputs + cross-block-accumulated token sums
+    ya, sa, qa = sbp.norm_attn_residual_stats(x, w, b, wqkv, bqkv, wproj,
+                                              bproj, bm, NH, N)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    es, eq = sbp.token_stats(want)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(es), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(eq), rtol=1e-5, atol=1e-5)
+
+    ym, sm, qm = sbp.norm_mlp_residual_stats(x, w, b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(want2),
+                               rtol=2e-4, atol=2e-5)
+    es2, eq2 = sbp.token_stats(want2)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(es2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qm), np.asarray(eq2), rtol=1e-5, atol=1e-5)
+
 
 def test_fused_swin_block_grads_match_xla():
     """custom VJP of the fused ops equals grads of the XLA composition."""
