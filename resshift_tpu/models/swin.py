@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import flax.linen as nn
 import jax
@@ -348,9 +349,19 @@ class SwinTransformerBlock(nn.Module):
         # token permutations preserve per-image statistics, so the affines
         # computed here are valid in either layout
         wa, ba = sbp.fold_stats(stats, s1, b1, t)
+        if shift_size > 0 and use_pallas and not os.environ.get("RSTPU_NO_SHIFT_FUSE"):
+            # shift absorbed into the kernels' reads: attn emits the shifted
+            # layout, the MLP (pointwise over tokens, so the inverse
+            # permutation commutes past it) restores the unshifted layout
+            y, ys, yq = sbp.shift_attn_residual_stats(
+                xt, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), bias_mask,
+                nh, n, h, w, ws, shift_size)
+            wm, bm = sbp.fold_stats((ys, yq), s2, b2, t)
+            return sbp.mlp_unshift_residual_stats(
+                y, wm, bm, w1.astype(dt), bb1.astype(dt),
+                w2.astype(dt), bb2.astype(dt), h, w, ws, shift_size)
         if shift_size > 0:
-            import os
-
             if use_pallas and not os.environ.get("RSTPU_NO_SHIFT_KERNEL"):
                 # VMEM block-copy kernel (~10x the XLA row-gather)
                 from ..ops.shift_pallas import shift_tokens_pallas

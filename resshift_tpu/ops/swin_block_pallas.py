@@ -46,7 +46,8 @@ except Exception:  # pragma: no cover
 
 __all__ = ["gn_fold", "token_stats", "fold_stats", "norm_attn_residual",
            "norm_mlp_residual", "norm_attn_residual_stats",
-           "norm_mlp_residual_stats", "pallas_available"]
+           "norm_mlp_residual_stats", "shift_attn_residual_stats",
+           "mlp_unshift_residual_stats", "pallas_available"]
 
 _CROSS_MASK = -1e9
 
@@ -198,17 +199,17 @@ def _accumulate_stats(o_cast, s_ref, q_ref):
         q_ref[0] += bq
 
 
-def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, bm_ref, o_ref, s_ref, q_ref, *, num_heads,
-                 n_win, gw, tb):
-    c = x_ref.shape[2]
+def _attn_body(x, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+               bproj_ref, bm_ref, out_dtype, *, num_heads, n_win, gw, tb):
+    """Shared W-MSA math on an assembled (TB, C) token block; returns the
+    residual-added output cast to `out_dtype`."""
+    c = x.shape[-1]
     nh = num_heads
     hd = c // nh
     scale = hd**-0.5
     ns = gw * n_win
     ng = tb // ns  # super-windows per block
 
-    x = x_ref[0]  # (TB, C)
     xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
@@ -236,9 +237,88 @@ def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     out = jnp.concatenate(outs, axis=-1).astype(x.dtype).reshape(tb, c)
     proj = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
     proj = proj + bproj_ref[:].astype(jnp.float32)
-    o_cast = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
+    return (x.astype(jnp.float32) + proj).astype(out_dtype)
+
+
+def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, bm_ref, o_ref, s_ref, q_ref, *, num_heads,
+                 n_win, gw, tb):
+    o_cast = _attn_body(x_ref[0], w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                        bproj_ref, bm_ref, o_ref.dtype, num_heads=num_heads,
+                        n_win=n_win, gw=gw, tb=tb)
     o_ref[0] = o_cast
     _accumulate_stats(o_cast, s_ref, q_ref)
+
+
+# ---- shifted-layout assembly (absorbs the SW-MSA roll permutation into the
+# ---- kernels' reads: shifted window-row wi draws only from unshifted rows
+# ---- wi, wi+1, so a second input ref supplies the wrap neighbor — same
+# ---- slice/concat scheme as ops/shift_pallas.py, now free of its own pass)
+
+def _shift_assemble(cur_ref, nxt_ref, k, nww, ws, shift):
+    """(k rows, next row) unshifted -> (k*row, C) tokens in SHIFTED layout."""
+    c = cur_ref.shape[-1]
+    cur = cur_ref[0].reshape(k, nww, ws, ws, c)
+    nxt = nxt_ref[0].reshape(1, nww, ws, ws, c)
+    # k == 1: row wi+1 comes entirely from the neighbor ref (Mosaic rejects
+    # the zero-size cur[1:] slice)
+    nrow = nxt if k == 1 else jnp.concatenate([cur[1:], nxt], axis=0)
+    x = jnp.concatenate([cur[:, :, shift:], nrow[:, :, :shift]], axis=2)
+    nc = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+    x = jnp.concatenate([x[:, :, :, shift:], nc[:, :, :, :shift]], axis=3)
+    return x.reshape(k * nww * ws * ws, c)
+
+
+def _unshift_assemble(prv_ref, cur_ref, k, nww, ws, shift):
+    """(prev row, k rows) shifted -> (k*row, C) tokens in UNSHIFTED layout."""
+    c = cur_ref.shape[-1]
+    prv = prv_ref[0].reshape(1, nww, ws, ws, c)
+    cur = cur_ref[0].reshape(k, nww, ws, ws, c)
+    prow = prv if k == 1 else jnp.concatenate([prv, cur[:k - 1]], axis=0)
+    x = jnp.concatenate([prow[:, :, ws - shift:], cur[:, :, :ws - shift]], axis=2)
+    pc = jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+    x = jnp.concatenate([pc[:, :, :, ws - shift:], x[:, :, :, :ws - shift]], axis=3)
+    return x.reshape(k * nww * ws * ws, c)
+
+
+def _shift_attn_kernel(cur_ref, nxt_ref, w_ref, b_ref, wqkv_ref, bqkv_ref,
+                       wproj_ref, bproj_ref, bm_ref, o_ref, s_ref, q_ref, *,
+                       num_heads, n_win, gw, tb, k, nww, ws, shift):
+    x = _shift_assemble(cur_ref, nxt_ref, k, nww, ws, shift)
+    o_cast = _attn_body(x, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                        bproj_ref, bm_ref, o_ref.dtype, num_heads=num_heads,
+                        n_win=n_win, gw=gw, tb=tb)
+    o_ref[0] = o_cast
+    _accumulate_stats(o_cast, s_ref, q_ref)
+
+
+def _prep_bias(bias_mask, gw, ng):
+    """Super-window-grouped bias + its BlockSpec for `ng` groups per block.
+
+    Window order is window-major in both the contiguous and the row-blocked
+    grids, so the ti-th block always covers groups [ti*ng, (ti+1)*ng)."""
+    gb = _group_bias(bias_mask.astype(jnp.float32), gw)
+    nwg = gb.shape[0]
+    if nwg == 1:
+        bm = jnp.broadcast_to(gb, (ng,) + gb.shape[1:])
+        bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
+                               lambda bi, ti: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        assert nwg % ng == 0 or ng % nwg == 0, (nwg, ng)
+        bm = gb
+        if nwg % ng == 0:
+            bpi = nwg // ng  # blocks per image
+            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
+                                   lambda bi, ti: (ti % bpi, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            reps = ng // nwg
+            bm = jnp.tile(bm, (reps, 1, 1, 1))
+            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
+                                   lambda bi, ti: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    return bm, bm_spec
 
 
 def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
@@ -261,28 +341,7 @@ def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
         gw = int(env_gw)
     ng = tb // (gw * n_win)
 
-    gb = _group_bias(bias_mask.astype(jnp.float32), gw)
-    nwg = gb.shape[0]
-    if nwg == 1:
-        bm = jnp.broadcast_to(gb, (ng,) + gb.shape[1:])
-        bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
-                               lambda bi, ti: (0, 0, 0, 0),
-                               memory_space=pltpu.VMEM)
-    else:
-        assert nwg % ng == 0 or ng % nwg == 0, (nwg, ng)
-        bm = gb
-        if nwg % ng == 0:
-            bpi = nwg // ng  # blocks per image
-            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
-                                   lambda bi, ti: (ti % bpi, 0, 0, 0),
-                                   memory_space=pltpu.VMEM)
-        else:
-            reps = ng // nwg
-            bm = jnp.tile(bm, (reps, 1, 1, 1))
-            bm_spec = pl.BlockSpec((ng,) + gb.shape[1:],
-                                   lambda bi, ti: (0, 0, 0, 0),
-                                   memory_space=pltpu.VMEM)
-
+    bm, bm_spec = _prep_bias(bias_mask, gw, ng)
     grid = (bsz, t // tb)
     y, s, q = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads, n_win=n_win,
@@ -365,6 +424,113 @@ def _nars_bwd(num_heads, n_win, res, g):
 norm_attn_residual_stats.defvjp(_nars_fwd, _nars_bwd)
 
 
+# ------------------------------------------ shift-absorbed attn / MLP ops
+
+@functools.lru_cache(maxsize=64)
+def _shift_perms(h, wd, ws, shift):
+    from ..models.swin import shift_permutation  # lazy: avoids module cycle
+
+    return shift_permutation(h, wd, ws, shift)
+
+
+def shift_attn_residual_stats_xla(x, w, b, wqkv, bqkv, wproj, bproj,
+                                  bias_mask, num_heads, n_win, h, wd, ws,
+                                  shift):
+    """XLA reference: apply the roll permutation, then norm+attn+residual.
+    Output stays in the SHIFTED layout (stats are permutation-invariant)."""
+    perm, _ = _shift_perms(h, wd, ws, shift)
+    xs = jnp.take(x, jnp.asarray(perm), axis=1)
+    return norm_attn_residual_stats_xla(xs, w, b, wqkv, bqkv, wproj, bproj,
+                                        bias_mask, num_heads, n_win)
+
+
+def _row_block(nwh, row):
+    """Rows-per-block: largest k | nwh with k*row tokens within budget."""
+    budget = int(os.environ.get("RSTPU_SWIN_TB", "1024"))
+    for cand in range(max(1, min(nwh, budget // max(row, 1))), 1, -1):
+        if nwh % cand == 0 and cand * row <= budget:
+            return cand
+    return 1
+
+
+def _shift_attn_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                           num_heads, n_win, h, wd, ws, shift):
+    bsz, t, c = x.shape
+    nwh, nww = h // ws, wd // ws
+    row = nww * n_win  # tokens per window-row
+    k = _row_block(nwh, row)
+    tb = k * row
+    gw = _pick_gw(n_win, tb // n_win, bias_mask.shape[0])
+    ng = tb // (gw * n_win)
+    bm, bm_spec = _prep_bias(bias_mask, gw, ng)
+
+    grid = (bsz, nwh // k)
+    y, s, q = pl.pallas_call(
+        functools.partial(_shift_attn_kernel, num_heads=num_heads,
+                          n_win=n_win, gw=gw, tb=tb, k=k, nww=nww, ws=ws,
+                          shift=shift),
+        out_shape=(jax.ShapeDtypeStruct((bsz, t, c), x.dtype),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row, c), lambda bi, ti: (bi, (k * ti + k) % nwh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            bm_spec,
+        ],
+        out_specs=(pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+    )(x, x, w.astype(jnp.float32)[:, None], b.astype(jnp.float32)[:, None],
+      wqkv, bqkv, wproj, bproj, bm)
+    return y, s[:, 0], q[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def shift_attn_residual_stats(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                              num_heads, n_win, h, wd, ws, shift):
+    """Fused [roll permutation] + GN-affine + SW-MSA + residual + stats.
+
+    Input x is in the UNSHIFTED window-major layout; the kernel assembles
+    each block's shifted tokens from two input refs (rows wi, wi+1 with
+    wrap), so the permutation costs no standalone HBM pass.  Output y (and
+    its stats) are in the SHIFTED layout; pair with
+    `mlp_unshift_residual_stats` to come back."""
+    return _shift_attn_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
+                                  bias_mask, num_heads, n_win, h, wd, ws,
+                                  shift)
+
+
+def _sars_fwd(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask, num_heads, n_win,
+              h, wd, ws, shift):
+    out = _shift_attn_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
+                                 num_heads, n_win, h, wd, ws, shift)
+    return out, (x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
+
+
+def _sars_bwd(num_heads, n_win, h, wd, ws, shift, res, g):
+    x, w, b, wqkv, bqkv, wproj, bproj, bias_mask = res
+    _, vjp = jax.vjp(
+        lambda *a: shift_attn_residual_stats_xla(
+            *a, num_heads=num_heads, n_win=n_win, h=h, wd=wd, ws=ws,
+            shift=shift),
+        x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
+    return vjp(g)
+
+
+shift_attn_residual_stats.defvjp(_sars_fwd, _sars_bwd)
+
+
 # ------------------------------------------------------------- MLP kernel
 
 def _erf_f32(x):
@@ -384,9 +550,7 @@ def _erf_f32(x):
     return s * y
 
 
-def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                s_ref, q_ref):
-    x = x_ref[0]  # (TB, C)
+def _mlp_body(x, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_dtype):
     xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
@@ -394,7 +558,23 @@ def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     h = (0.5 * h * (1.0 + _erf_f32(h * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
-    o_cast = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+    return (x.astype(jnp.float32) + out).astype(out_dtype)
+
+
+def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                s_ref, q_ref):
+    o_cast = _mlp_body(x_ref[0], w_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, o_ref.dtype)
+    o_ref[0] = o_cast
+    _accumulate_stats(o_cast, s_ref, q_ref)
+
+
+def _mlp_unshift_kernel(prv_ref, cur_ref, w_ref, b_ref, w1_ref, b1_ref,
+                        w2_ref, b2_ref, o_ref, s_ref, q_ref, *, k, nww, ws,
+                        shift):
+    y = _unshift_assemble(prv_ref, cur_ref, k, nww, ws, shift)
+    o_cast = _mlp_body(y, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       o_ref.dtype)
     o_ref[0] = o_cast
     _accumulate_stats(o_cast, s_ref, q_ref)
 
@@ -469,3 +649,76 @@ def _nmrs_bwd(res, g):
 
 
 norm_mlp_residual_stats.defvjp(_nmrs_fwd, _nmrs_bwd)
+
+
+def mlp_unshift_residual_stats_xla(y, w, b, w1, b1, w2, b2, h, wd, ws,
+                                   shift):
+    """XLA reference: undo the roll permutation, then norm+MLP+residual.
+    The MLP is pointwise over tokens, so unshift commutes past it — the
+    kernel applies it on READ and emits the UNSHIFTED output directly."""
+    _, inv = _shift_perms(h, wd, ws, shift)
+    yi = jnp.take(y, jnp.asarray(inv), axis=1)
+    return norm_mlp_residual_stats_xla(yi, w, b, w1, b1, w2, b2)
+
+
+def _mlp_unshift_fwd_pallas(y, w, b, w1, b1, w2, b2, h, wd, ws, shift):
+    bsz, t, c = y.shape
+    hidden = w1.shape[1]
+    ws2 = ws * ws
+    nwh, nww = h // ws, wd // ws
+    row = nww * ws2
+    k = _row_block(nwh, row)
+    tb = k * row
+    grid = (bsz, nwh // k)
+    yo, s, q = pl.pallas_call(
+        functools.partial(_mlp_unshift_kernel, k=k, nww=nww, ws=ws,
+                          shift=shift),
+        out_shape=(jax.ShapeDtypeStruct((bsz, t, c), y.dtype),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row, c), lambda bi, ti: (bi, (k * ti - 1) % nwh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hidden), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, tb, c), lambda bi, ti: (bi, ti, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+    )(y, y, w.astype(jnp.float32)[:, None], b.astype(jnp.float32)[:, None],
+      w1, b1, w2, b2)
+    return yo, s[:, 0], q[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def mlp_unshift_residual_stats(y, w, b, w1, b1, w2, b2, h, wd, ws, shift):
+    """Fused [inverse roll permutation] + GN-affine + MLP + residual + stats.
+
+    Input y is in the SHIFTED layout (from `shift_attn_residual_stats`);
+    the kernel assembles each block's unshifted tokens on read (rows wi-1,
+    wi with wrap) and writes the UNSHIFTED output."""
+    return _mlp_unshift_fwd_pallas(y, w, b, w1, b1, w2, b2, h, wd, ws, shift)
+
+
+def _murs_fwd(y, w, b, w1, b1, w2, b2, h, wd, ws, shift):
+    return _mlp_unshift_fwd_pallas(y, w, b, w1, b1, w2, b2, h, wd, ws,
+                                   shift), (y, w, b, w1, b1, w2, b2)
+
+
+def _murs_bwd(h, wd, ws, shift, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: mlp_unshift_residual_stats_xla(*a, h=h, wd=wd, ws=ws,
+                                                  shift=shift), *res)
+    return vjp(g)
+
+
+mlp_unshift_residual_stats.defvjp(_murs_fwd, _murs_bwd)

@@ -146,6 +146,72 @@ def test_fused_swin_block_kernels_interpret(monkeypatch, shift_nw):
     np.testing.assert_allclose(np.asarray(qm), np.asarray(eq2), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("hw,k_expect", [((16, 16), 2), ((8, 32), 1)])
+def test_shift_absorbed_kernels_interpret(monkeypatch, hw, k_expect):
+    """shift_attn / mlp_unshift fused ops == permute-then-op XLA reference
+    (multi-row and single-row-per-block shapes; interpret mode on CPU)."""
+    from resshift_tpu.models.swin import shift_permutation
+    from resshift_tpu.ops import swin_block_pallas as sbp
+
+    if not sbp._PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(sbp.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    # keep blocks small so the grid really has >1 row-group
+    monkeypatch.setenv("RSTPU_SWIN_TB", "128" if k_expect == 2 else "64")
+
+    H, W = hw
+    WS, SH, C, NH = 4, 2, 32, 2
+    N = WS * WS
+    B, T = 2, H * W
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (B, T, C), jnp.float32) * 0.5
+    s = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (C,))
+    bi = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (C,))
+    w, b = sbp.gn_fold(x, s, bi, num_groups=8)
+    wqkv = jax.random.normal(jax.random.fold_in(key, 3), (C, 3 * C)) * 0.1
+    bqkv = jax.random.normal(jax.random.fold_in(key, 4), (3 * C,)) * 0.1
+    wproj = jax.random.normal(jax.random.fold_in(key, 5), (C, C)) * 0.1
+    bproj = jax.random.normal(jax.random.fold_in(key, 6), (C,)) * 0.1
+    nW = (H // WS) * (W // WS)
+    bm = jax.random.normal(jax.random.fold_in(key, 7), (nW, NH, N, N)) * 0.2
+
+    got, gs, gq = sbp.shift_attn_residual_stats(
+        x, w, b, wqkv, bqkv, wproj, bproj, bm, NH, N, H, W, WS, SH)
+    want, es, eq = sbp.shift_attn_residual_stats_xla(
+        x, w, b, wqkv, bqkv, wproj, bproj, bm, NH, N, H, W, WS, SH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(es), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(eq), rtol=1e-5, atol=1e-5)
+
+    # MLP absorbs the inverse: feed the shifted attn output through both
+    w1 = jax.random.normal(jax.random.fold_in(key, 8), (C, 4 * C)) * 0.1
+    b1 = jnp.zeros((4 * C,))
+    w2 = jax.random.normal(jax.random.fold_in(key, 9), (4 * C, C)) * 0.1
+    b2 = jnp.zeros((C,))
+    got2, gs2, gq2 = sbp.mlp_unshift_residual_stats(
+        want, w, b, w1, b1, w2, b2, H, W, WS, SH)
+    want2, es2, eq2 = sbp.mlp_unshift_residual_stats_xla(
+        want, w, b, w1, b1, w2, b2, H, W, WS, SH)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gs2), np.asarray(es2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq2), np.asarray(eq2), rtol=1e-5, atol=1e-5)
+
+    # chaining both == unshifted-layout block math on permuted tokens
+    perm, inv = shift_permutation(H, W, WS, SH)
+    xs = jnp.take(x, jnp.asarray(perm), axis=1)
+    y_ref = sbp.norm_attn_residual_xla(xs, w, b, wqkv, bqkv, wproj, bproj,
+                                       bm, num_heads=NH, n_win=N)
+    z_ref = sbp.norm_mlp_residual_xla(
+        jnp.take(y_ref, jnp.asarray(inv), axis=1), w, b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(z_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fused_swin_block_grads_match_xla():
     """custom VJP of the fused ops equals grads of the XLA composition."""
     from resshift_tpu.ops import swin_block_pallas as sbp
