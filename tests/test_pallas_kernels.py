@@ -212,6 +212,58 @@ def test_shift_absorbed_kernels_interpret(monkeypatch, hw, k_expect):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_shift_absorbed_vjp_wiring(monkeypatch):
+    """Grads flow through the shift-absorbed ops (incl. the stats outputs)
+    and equal grads of the XLA permute-then-op composition."""
+    from resshift_tpu.ops import swin_block_pallas as sbp
+
+    if not sbp._PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(sbp.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setenv("RSTPU_SWIN_TB", "128")
+
+    H = W = 16
+    WS, SH, C, NH = 4, 2, 32, 2
+    N = WS * WS
+    B, T = 1, H * W
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (B, T, C), jnp.float32) * 0.5
+    w = jnp.ones((B, C)) * 1.1
+    b = jnp.zeros((B, C)) + 0.02
+    args = [jax.random.normal(jax.random.fold_in(key, i), sh) * 0.1
+            for i, sh in enumerate([(C, 3 * C), (3 * C,), (C, C), (C,)], 1)]
+    nW = (H // WS) * (W // WS)
+    bm = jnp.zeros((nW, NH, N, N))
+    w1 = jax.random.normal(jax.random.fold_in(key, 8), (C, 4 * C)) * 0.1
+    b1 = jnp.zeros((4 * C,))
+    w2 = jax.random.normal(jax.random.fold_in(key, 9), (4 * C, C)) * 0.1
+    b2 = jnp.zeros((C,))
+
+    def loss_fused(xx):
+        y, ys, yq = sbp.shift_attn_residual_stats(
+            xx, w, b, *args, bm, NH, N, H, W, WS, SH)
+        z, zs, zq = sbp.mlp_unshift_residual_stats(
+            y, w, b, w1, b1, w2, b2, H, W, WS, SH)
+        # include the stats outputs so their cotangents are exercised
+        return jnp.sum(z ** 2) + jnp.sum(ys * 1e-3) + jnp.sum(zq * 1e-4)
+
+    def loss_xla(xx):
+        y, ys, yq = sbp.shift_attn_residual_stats_xla(
+            xx, w, b, *args, bm, num_heads=NH, n_win=N, h=H, wd=W, ws=WS,
+            shift=SH)
+        z, zs, zq = sbp.mlp_unshift_residual_stats_xla(
+            y, w, b, w1, b1, w2, b2, h=H, wd=W, ws=WS, shift=SH)
+        return jnp.sum(z ** 2) + jnp.sum(ys * 1e-3) + jnp.sum(zq * 1e-4)
+
+    g_fused = jax.grad(loss_fused)(x)
+    g_xla = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fused_swin_block_grads_match_xla():
     """custom VJP of the fused ops equals grads of the XLA composition."""
     from resshift_tpu.ops import swin_block_pallas as sbp
