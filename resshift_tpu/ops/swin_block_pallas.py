@@ -29,6 +29,7 @@ rounding.  The XLA functions are also the CPU/test path.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -52,8 +53,31 @@ __all__ = ["gn_fold", "token_stats", "fold_stats", "norm_attn_residual",
 _CROSS_MASK = -1e9
 
 
+_TRACE_DISABLED = 0
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Trace-scoped kill switch for the Swin-block kernels.
+
+    The trainer wraps its step trace in this: under AD the custom VJPs
+    recompute the XLA composition anyway, so the Pallas forward is pure
+    extra work there (measured +3% step time) — while validation/inference
+    traces outside the context keep the fused kernels.  `pallas_available`
+    is consulted at TRACE time (Python control flow), so this costs nothing
+    at run time."""
+    global _TRACE_DISABLED
+    _TRACE_DISABLED += 1
+    try:
+        yield
+    finally:
+        _TRACE_DISABLED -= 1
+
+
 def pallas_available() -> bool:
     if not _PALLAS_OK:
+        return False
+    if _TRACE_DISABLED:
         return False
     if os.environ.get("RSTPU_NO_PALLAS"):  # global kill switch (perf A/B)
         return False

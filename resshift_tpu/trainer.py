@@ -145,6 +145,16 @@ def make_train_step(
         return loss, metrics
 
     def train_step(state: State, vq_params, batch, key):
+        # trace the denoiser through the XLA path: under AD the Swin-kernel
+        # custom VJPs recompute the XLA composition anyway, so the Pallas
+        # forward is pure extra work here (measured +3% step time); the
+        # VQGAN's forward-only kernels (flash attn, VQ search) stay fused
+        from .ops.swin_block_pallas import pallas_disabled
+
+        with pallas_disabled():
+            return _train_step(state, vq_params, batch, key)
+
+    def _train_step(state: State, vq_params, batch, key):
         if cfg.microbatch:
             # grad accumulation: scan over microbatches (trainer.py:719-775)
             b = jax.tree_util.tree_leaves(batch)[0].shape[0]

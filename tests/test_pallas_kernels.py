@@ -212,6 +212,20 @@ def test_shift_absorbed_kernels_interpret(monkeypatch, hw, k_expect):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_disabled_context():
+    """The trainer's trace-scoped kill switch forces the XLA path."""
+    from resshift_tpu.ops import shift_pallas as shp
+    from resshift_tpu.ops import swin_block_pallas as sbp
+
+    with sbp.pallas_disabled():
+        assert not sbp.pallas_available()
+        assert not shp.pallas_available()  # delegates to sbp
+        with sbp.pallas_disabled():  # reentrant
+            assert not sbp.pallas_available()
+        assert not sbp.pallas_available()
+    assert sbp._TRACE_DISABLED == 0
+
+
 def test_shift_absorbed_vjp_wiring(monkeypatch):
     """Grads flow through the shift-absorbed ops (incl. the stats outputs)
     and equal grads of the XLA permute-then-op composition."""
