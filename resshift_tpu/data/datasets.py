@@ -531,6 +531,8 @@ class DataLoader:
         self.seed = seed
         self.shard_id, self.num_shards = shard_id, num_shards
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None  # lazy ThreadPoolExecutor when num_workers > 0
         self.epoch = 0
 
     def __len__(self):
@@ -543,11 +545,23 @@ class DataLoader:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(idx)
         return idx[self.shard_id::self.num_shards]
 
+    def _fetch_items(self, chunk):
+        """Item loads for one batch; `num_workers` threads when requested
+        (torch DataLoader(num_workers=) analog — IO + PIL/numpy decode
+        release the GIL, so threads overlap; order is preserved)."""
+        if self.num_workers > 0:
+            if self._pool is None:
+                import concurrent.futures as _cf
+
+                self._pool = _cf.ThreadPoolExecutor(max_workers=self.num_workers)
+            return list(self._pool.map(self.ds.__getitem__, chunk))
+        return [self.ds[i] for i in chunk]
+
     def _batches(self):
         idx = self._epoch_indices()
         stop = len(idx) - (len(idx) % self.bs) if self.drop_last else len(idx)
         for s in range(0, stop, self.bs):
-            items = [self.ds[int(i)] for i in idx[s:s + self.bs]]
+            items = self._fetch_items([int(i) for i in idx[s:s + self.bs]])
             keys = items[0].keys()
             yield {k: (np.stack([it[k] for it in items])
                        if not isinstance(items[0][k], str)

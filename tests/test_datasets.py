@@ -115,6 +115,13 @@ def test_dataloader_shard_and_batch():
                       prefetch=2)
     b0p = list(dl0p)
     np.testing.assert_array_equal(b0[0]["lq"], b0p[0]["lq"])
+    # threaded item fetch (num_workers) preserves batch content and order
+    dl0w = DataLoader(ds, batch_size=2, shuffle=True, seed=7, shard_id=0, num_shards=2,
+                      prefetch=2, num_workers=3)
+    b0w = list(dl0w)
+    assert len(b0w) == len(b0)
+    for a, b in zip(b0, b0w):
+        np.testing.assert_array_equal(a["lq"], b["lq"])
 
 
 def test_face_degradation_testing():
