@@ -532,7 +532,8 @@ class DataLoader:
         self.shard_id, self.num_shards = shard_id, num_shards
         self.prefetch = prefetch
         self.num_workers = num_workers
-        self._pool = None  # lazy ThreadPoolExecutor when num_workers > 0
+        self._pool = None  # lazy per-worker executors when num_workers > 0
+        self._workers = None
         self.epoch = 0
 
     def __len__(self):
@@ -545,16 +546,47 @@ class DataLoader:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(idx)
         return idx[self.shard_id::self.num_shards]
 
+    def _ensure_workers(self):
+        """Worker threads with PRIVATE dataset copies (torch
+        DataLoader(num_workers=) semantics): np.random.Generator is not
+        thread-safe and our datasets draw from `self.rng` (shared with
+        sub-objects like the inpainting mask generator), so each worker
+        gets a deepcopy whose generator — and everything aliasing it inside
+        the copy — is reseeded in place from (seed, worker).  Items are
+        assigned round-robin and each worker is single-threaded, so streams
+        are consumed in a deterministic order (reproducible runs; like
+        torch, the draws differ from the num_workers=0 stream)."""
+        if self._pool is not None:
+            return
+        import concurrent.futures as _cf
+        import copy as _copy
+
+        try:
+            copies = [_copy.deepcopy(self.ds) for _ in range(self.num_workers)]
+            for w, ds in enumerate(copies):
+                rng = getattr(ds, "rng", None)
+                if isinstance(rng, np.random.Generator):
+                    # in place: aliases (e.g. mask_gen.rng) follow
+                    rng.bit_generator.state = np.random.default_rng(
+                        (self.seed, 7919, w)).bit_generator.state
+        except Exception:  # un-copyable dataset (e.g. open handles)
+            if getattr(self.ds, "rng", None) is not None:
+                raise  # stochastic dataset MUST be copied — refuse the race
+            copies = [self.ds] * self.num_workers  # deterministic ds: share
+        self._workers = copies
+        self._pool = [_cf.ThreadPoolExecutor(max_workers=1)
+                      for _ in range(self.num_workers)]
+
     def _fetch_items(self, chunk):
         """Item loads for one batch; `num_workers` threads when requested
-        (torch DataLoader(num_workers=) analog — IO + PIL/numpy decode
-        release the GIL, so threads overlap; order is preserved)."""
+        (IO + PIL/numpy decode release the GIL, so workers overlap).
+        Output order always matches `chunk`."""
         if self.num_workers > 0:
-            if self._pool is None:
-                import concurrent.futures as _cf
-
-                self._pool = _cf.ThreadPoolExecutor(max_workers=self.num_workers)
-            return list(self._pool.map(self.ds.__getitem__, chunk))
+            self._ensure_workers()
+            futs = [self._pool[j % self.num_workers].submit(
+                self._workers[j % self.num_workers].__getitem__, i)
+                for j, i in enumerate(chunk)]
+            return [f.result() for f in futs]
         return [self.ds[i] for i in chunk]
 
     def _batches(self):

@@ -65,7 +65,13 @@ def pallas_disabled():
     extra work there (measured +3% step time) — while validation/inference
     traces outside the context keep the fused kernels.  `pallas_available`
     is consulted at TRACE time (Python control flow), so this costs nothing
-    at run time."""
+    at run time.
+
+    CAVEAT: the flag is not part of any jit cache key.  It only affects
+    functions whose FIRST call (= trace) happens inside the context; an
+    already-compiled callable keeps whichever path it was traced with.
+    Wrap the jitted function's calls (as the trainer does), not arbitrary
+    later invocations."""
     global _TRACE_DISABLED
     _TRACE_DISABLED += 1
     try:
@@ -251,11 +257,15 @@ def _attn_body(x, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         )  # (ng, ns, ns)
         # softmax without VPU lane reductions (measured −0.55 ms/call):
         # the row-max subtraction is a CONSTANT shift (already folded into
-        # bm by _prep_bias; exact-softmax-equivalent while scores stay in
-        # (SHIFT−88, SHIFT+88) — GN-bounded scores are ±~50) and the
-        # normalizer rides the AV matmul as an appended ones column (hd=32
-        # pads to 128 output lanes, so the extra column is free MXU work).
-        p = jnp.exp(s + bm_ref[:, h]).astype(v.dtype)
+        # bm by _prep_bias; exact-softmax-equivalent for shifted scores in
+        # [-60, 60] — GN-bounded scores are ±~50) and the normalizer rides
+        # the AV matmul as an appended ones column (hd=32 pads to 128
+        # output lanes, so the extra column is free MXU work).  The clip
+        # makes NaN impossible for ANY input: p ∈ [e^-60, e^60], so the
+        # denominator can neither underflow to 0 nor overflow f32; clipped
+        # tails keep relative weight ≤ e^-60·n_win — below f32 rounding.
+        # Mask entries (−1e9 in bm) clip to weight e^-60 ≈ 9e-27: dead.
+        p = jnp.exp(jnp.clip(s + bm_ref[:, h], -60.0, 60.0)).astype(v.dtype)
         ones = jnp.ones((ng, ns, 1), v.dtype)
         v_aug = jnp.concatenate([v[:, :, sl], ones], axis=-1)
         oa = jax.lax.dot_general(
@@ -406,29 +416,14 @@ def _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
     return y, s[:, 0], q[:, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def norm_attn_residual(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask,
                        num_heads, n_win):
-    """Fused GN-affine + W-MSA + residual on (B, T, C) tokens."""
-    return _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
-                                          bias_mask, num_heads, n_win)[0]
+    """Fused GN-affine + W-MSA + residual on (B, T, C) tokens.
 
-
-def _nar_fwd(x, w, b, wqkv, bqkv, wproj, bproj, bias_mask, num_heads, n_win):
-    out = _norm_attn_residual_fwd_pallas(x, w, b, wqkv, bqkv, wproj, bproj,
-                                         bias_mask, num_heads, n_win)[0]
-    return out, (x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
-
-
-def _nar_bwd(num_heads, n_win, res, g):
-    x, w, b, wqkv, bqkv, wproj, bproj, bias_mask = res
-    _, vjp = jax.vjp(
-        lambda *a: norm_attn_residual_xla(*a, num_heads=num_heads, n_win=n_win),
-        x, w, b, wqkv, bqkv, wproj, bproj, bias_mask)
-    return vjp(g)
-
-
-norm_attn_residual.defvjp(_nar_fwd, _nar_bwd)
+    Thin wrapper over the `_stats` twin (the stats epilogue is free and its
+    unused cotangents are zero under AD), so there is ONE VJP wiring."""
+    return norm_attn_residual_stats(x, w, b, wqkv, bqkv, wproj, bproj,
+                                    bias_mask, num_heads, n_win)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -647,23 +642,11 @@ def _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2):
     return y, s[:, 0], q[:, 0]
 
 
-@jax.custom_vjp
 def norm_mlp_residual(x, w, b, w1, b1, w2, b2):
-    """Fused GN-affine + fc1 + exact-GELU + fc2 + residual on (B, T, C)."""
-    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)[0]
+    """Fused GN-affine + fc1 + exact-GELU + fc2 + residual on (B, T, C).
 
-
-def _nmr_fwd(x, w, b, w1, b1, w2, b2):
-    return _norm_mlp_residual_fwd_pallas(x, w, b, w1, b1, w2, b2)[0], \
-        (x, w, b, w1, b1, w2, b2)
-
-
-def _nmr_bwd(res, g):
-    _, vjp = jax.vjp(norm_mlp_residual_xla, *res)
-    return vjp(g)
-
-
-norm_mlp_residual.defvjp(_nmr_fwd, _nmr_bwd)
+    Thin wrapper over the `_stats` twin — see `norm_attn_residual`."""
+    return norm_mlp_residual_stats(x, w, b, w1, b1, w2, b2)[0]
 
 
 @jax.custom_vjp

@@ -124,6 +124,34 @@ def test_dataloader_shard_and_batch():
         np.testing.assert_array_equal(a["lq"], b["lq"])
 
 
+def test_dataloader_workers_stochastic_deterministic():
+    """num_workers>0 on an rng-drawing dataset (whose generator is aliased
+    by the mask generator) is reproducible: per-worker dataset copies with
+    in-place-reseeded generators + round-robin assignment."""
+    from resshift_tpu.data.datasets import InpaintingData
+
+    def make():
+        ds = InpaintingData(dir_path=f"{TD}/Bicubicx4/gt", pch_size=64, seed=3,
+                            mask_kwargs={"irregular_proba": 1,
+                                         "irregular_kwargs": {"max_len": 20,
+                                                              "max_width": 10,
+                                                              "max_times": 2,
+                                                              "min_times": 1}},
+                            transform_type="crop_flip")
+        return DataLoader(ds, batch_size=4, shuffle=True, seed=11,
+                          prefetch=0, num_workers=2)
+
+    run1 = list(make())
+    run2 = list(make())
+    assert len(run1) == len(run2) >= 2
+    for a, b in zip(run1, run2):
+        np.testing.assert_array_equal(a["lq"], b["lq"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+    # masks are actually stochastic per item (not all equal)
+    m = run1[0]["mask"]
+    assert not np.array_equal(m[0], m[1]) or not np.array_equal(m[0], m[2])
+
+
 def test_face_degradation_testing():
     from resshift_tpu.data.faces import face_degradation
 

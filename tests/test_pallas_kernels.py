@@ -166,6 +166,9 @@ def test_shift_absorbed_kernels_interpret(monkeypatch, hw, k_expect):
     WS, SH, C, NH = 4, 2, 32, 2
     N = WS * WS
     B, T = 2, H * W
+    # guard: the budget really selects the intended rows-per-block, so the
+    # k>1 multi-row assembly branch keeps coverage
+    assert sbp._row_block(H // WS, (W // WS) * N) == k_expect
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (B, T, C), jnp.float32) * 0.5
     s = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (C,))

@@ -70,9 +70,10 @@ def conv3x3_pallas(x, w, r=8):
     """x: (B, H, W, C) NHWC; w: (3, 3, C, Cout) HWIO."""
     b, h, wdim, c = x.shape
     cout = w.shape[-1]
-    # per-dy matrices: rows ordered [dx=-1(left tap), 0, +1] to match the
-    # concat order [shift+1 (x[w-1]), x, shift-1 (x[w+1])] -> taps (dy, 0..2)
-    wm = w.transpose(0, 1, 2, 3).reshape(3, 3 * c, cout)
+    # per-dy matrices (3C, Cout): the natural HWIO flatten already orders
+    # rows [dx=0 tap, dx=1, dx=2], matching the concat order
+    # [shift+1 (x[w-1]), x, shift-1 (x[w+1])]
+    wm = w.reshape(3, 3 * c, cout)
     grid = (b, h // r)
     return pl.pallas_call(
         functools.partial(conv_kernel, r=r),
