@@ -81,21 +81,23 @@ class UNetModelSwin(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
-        timesteps: jnp.ndarray,
+        x: jnp.ndarray | None,
+        timesteps: jnp.ndarray | None,
         lq: jnp.ndarray | None = None,
         mask: jnp.ndarray | None = None,
+        lq_feat: jnp.ndarray | None = None,
+        features_only: bool = False,
     ) -> jnp.ndarray:
+        """`lq_feat` / `features_only`: the LQ conditioning features are
+        timestep-invariant, so samplers compute them ONCE per call
+        (`features_only=True`, x/timesteps may be None) and feed them back
+        via `lq_feat` for every denoising step — the reference re-runs the
+        pyramid each step (unet.py:692-702)."""
         nrb = self._nrb()
         mc = self.model_channels
         ted = mc * 4
 
-        emb = timestep_embedding(timesteps, mc)
-        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_0")(emb)
-        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
-
-        in_dtype = x.dtype
-        if lq is not None:
+        if lq is not None and lq_feat is None:
             assert self.cond_lq
             if mask is not None:
                 assert self.cond_mask
@@ -111,7 +113,18 @@ class UNetModelSwin(nn.Module):
                     lq = Downsample(base_chn, True, out_channels=base_chn * 2,
                                     dtype=self.dtype, name=f"fe_down{ii}")(lq)
                     base_chn *= 2
-            x = jnp.concatenate([x.astype(self.dtype), lq], axis=-1)
+            lq_feat = lq
+        if features_only:
+            return lq_feat
+
+        emb = timestep_embedding(timesteps, mc)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_0")(emb)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        in_dtype = x.dtype
+        if lq_feat is not None:
+            x = jnp.concatenate([x.astype(self.dtype),
+                                 lq_feat.astype(self.dtype)], axis=-1)
 
         h = x.astype(self.dtype)
         ch = int(self.channel_mult[0] * mc)

@@ -192,17 +192,35 @@ class ResShiftPipeline:
 
         return jax.tree_util.tree_map_with_path(cast, params)
 
+    def _cond_kwargs(self, params, lq, mask):
+        """Denoiser conditioning kwargs.  When the model has an LQ feature
+        pyramid (lq_size != image_size: faceir & friends), run it ONCE here
+        and pass the timestep-invariant features to every step — the
+        reference recomputes the pyramid per step (unet.py:692-702)."""
+        model_kwargs = {}
+        if not self.cond_lq:
+            return model_kwargs
+        mask = mask if self.cond_mask and mask is not None else None
+        from .models.unet import UNetModelSwin
+
+        if (isinstance(self.unet, UNetModelSwin)
+                and self.unet.lq_size != self.unet.image_size):
+            model_kwargs["lq_feat"] = self.unet.apply(
+                {"params": params["unet"]}, None, None, lq=lq, mask=mask,
+                features_only=True)
+        else:
+            model_kwargs["lq"] = lq
+            if mask is not None:
+                model_kwargs["mask"] = mask
+        return model_kwargs
+
     def _sample_tile(self, params, lq, key, mask=None, noise_repeat=False):
         """Sampler for one (padded) tile batch — everything in latent space
         plus encode/decode; traced into the enclosing jit."""
         params = self._compute_params(params)
         z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
 
-        model_kwargs = {}
-        if self.cond_lq:
-            model_kwargs["lq"] = lq
-        if self.cond_mask and mask is not None:
-            model_kwargs["mask"] = mask
+        model_kwargs = self._cond_kwargs(params, lq, mask)
 
         def model_fn(x, t_orig, **kw):
             return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)
@@ -296,11 +314,7 @@ class ResShiftPipeline:
             def fn(params, lq, mask, key):
                 params = self._compute_params(params)
                 z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
-                model_kwargs = {}
-                if self.cond_lq:
-                    model_kwargs["lq"] = lq
-                if self.cond_mask and mask is not None:
-                    model_kwargs["mask"] = mask
+                model_kwargs = self._cond_kwargs(params, lq, mask)
 
                 def model_fn(x, t_orig, **kw):
                     return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)
@@ -336,11 +350,7 @@ class ResShiftPipeline:
 
             def fn(params, lq, mask, key):
                 z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
-                model_kwargs = {}
-                if self.cond_lq:
-                    model_kwargs["lq"] = lq
-                if self.cond_mask and mask is not None:
-                    model_kwargs["mask"] = mask
+                model_kwargs = self._cond_kwargs(params, lq, mask)
 
                 def model_fn(x, t_orig, **kw):
                     return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)

@@ -132,6 +132,16 @@ def test_unet_swin_parity_feature_extractor_and_mask(ref_classes):
                      lq=jnp.asarray(lq), mask=jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
+    # hoisted-pyramid path: features_only + lq_feat == the direct call
+    # (samplers compute the timestep-invariant features once per call)
+    feat = fnet.apply({"params": params}, None, None, lq=jnp.asarray(lq),
+                      mask=jnp.asarray(mask), features_only=True)
+    assert feat.shape[1:3] == (16, 16)
+    got2 = fnet.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
+                      lq_feat=feat)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=1e-6, atol=1e-7)
+
 
 DD_SMALL = dict(double_z=False, z_channels=3, resolution=64, in_channels=3,
                 out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=2,
