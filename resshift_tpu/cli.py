@@ -366,6 +366,9 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=12345)
         sp.add_argument("--bf16", action="store_true", default=True)
         sp.add_argument("--fp32", dest="bf16", action="store_false")
+        sp.add_argument("--distributed", action="store_true",
+                        help="force jax.distributed.initialize() (auto-detected "
+                             "on TPU pods / when JAX_COORDINATOR_ADDRESS is set)")
 
     pi = sub.add_parser("infer", help="restore a folder or single image")
     common(pi)
@@ -411,6 +414,11 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    # multi-host bootstrap BEFORE any jax device use (torchrun equivalent);
+    # no-op on a single host unless --distributed forces it
+    from .parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed(force=getattr(args, "distributed", False))
     args.fn(args)
 
 

@@ -20,7 +20,41 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings", "P"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings",
+           "maybe_init_distributed", "P"]
+
+
+def maybe_init_distributed(force: bool = False) -> bool:
+    """Bootstrap JAX's multi-process runtime when this looks like (or is
+    forced to be) a multi-host job; safe no-op on a single host.
+
+    TPU pods auto-configure `jax.distributed.initialize()` from the TPU
+    metadata; other clusters set JAX_COORDINATOR_ADDRESS (or the legacy
+    COORDINATOR_ADDRESS) + process env vars.  Returns True when the
+    multi-process runtime is (already) up.  Replaces the reference's
+    torchrun/env:// init_process_group bootstrap (trainer.py:49-64)."""
+    import os
+    import warnings
+
+    coord = any(os.environ.get(k) for k in
+                ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                 "MEGASCALE_COORDINATOR_ADDRESS"))
+    # TPU_WORKER_HOSTNAMES is also set on single-host TPUs — only a
+    # multi-entry list indicates a pod slice needing the bootstrap
+    hosts = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    if not (force or coord or len(hosts) > 1):
+        return False
+    try:
+        if jax.distributed.is_initialized():
+            return jax.process_count() > 1
+    except AttributeError:  # older jax
+        pass
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:  # backend already up (library-embedded use)
+        warnings.warn(f"multi-host init skipped: {e}")
+        return jax.process_count() > 1
+    return jax.process_count() > 1
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:

@@ -113,3 +113,13 @@ def test_load_file_from_url(tmp_path, monkeypatch):
     monkeypatch.delenv("RSTPU_ALLOW_DOWNLOAD", raising=False)
     with pytest.raises(FileNotFoundError, match="out-of-band"):
         load_file_from_url("https://example.com/none.pth", model_dir=tmp_path)
+
+
+def test_maybe_init_distributed_single_host(monkeypatch):
+    """Single-host, no coordinator env: a safe no-op returning False."""
+    from resshift_tpu.parallel.mesh import maybe_init_distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(k, raising=False)
+    assert maybe_init_distributed() is False
