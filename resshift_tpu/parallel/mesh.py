@@ -29,16 +29,18 @@ def maybe_init_distributed(force: bool = False) -> bool:
     forced to be) a multi-host job; safe no-op on a single host.
 
     TPU pods auto-configure `jax.distributed.initialize()` from the TPU
-    metadata; other clusters set JAX_COORDINATOR_ADDRESS (or the legacy
-    COORDINATOR_ADDRESS) + process env vars.  Returns True when the
-    multi-process runtime is (already) up.  Replaces the reference's
-    torchrun/env:// init_process_group bootstrap (trainer.py:49-64)."""
+    metadata; other clusters set JAX_COORDINATOR_ADDRESS (+
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID — jax's own env protocol).
+    Returns True when the multi-process runtime is (already) up; raises if
+    a multi-host environment is indicated but cannot be initialized —
+    silently degrading to N independent single-process jobs would corrupt
+    the run (every host would be rank 0 with num_shards=1).  Replaces the
+    reference's torchrun/env:// init_process_group bootstrap
+    (trainer.py:49-64)."""
     import os
-    import warnings
 
     coord = any(os.environ.get(k) for k in
-                ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                 "MEGASCALE_COORDINATOR_ADDRESS"))
+                ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
     # TPU_WORKER_HOSTNAMES is also set on single-host TPUs — only a
     # multi-entry list indicates a pod slice needing the bootstrap
     hosts = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
@@ -51,9 +53,12 @@ def maybe_init_distributed(force: bool = False) -> bool:
         pass
     try:
         jax.distributed.initialize()
-    except RuntimeError as e:  # backend already up (library-embedded use)
-        warnings.warn(f"multi-host init skipped: {e}")
-        return jax.process_count() > 1
+    except RuntimeError as e:
+        raise RuntimeError(
+            "multi-host environment indicated but jax.distributed could not "
+            "be initialized (it must run before ANY jax computation — call "
+            "maybe_init_distributed() first thing in your program): "
+            f"{e}") from e
     return jax.process_count() > 1
 
 

@@ -201,10 +201,7 @@ class ResShiftPipeline:
         if not self.cond_lq:
             return model_kwargs
         mask = mask if self.cond_mask and mask is not None else None
-        from .models.unet import UNetModelSwin
-
-        if (isinstance(self.unet, UNetModelSwin)
-                and self.unet.lq_size != self.unet.image_size):
+        if self.unet.lq_size != self.unet.image_size:
             model_kwargs["lq_feat"] = self.unet.apply(
                 {"params": params["unet"]}, None, None, lq=lq, mask=mask,
                 features_only=True)

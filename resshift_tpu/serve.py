@@ -27,7 +27,8 @@ class Predictor:
     """predict.py-equivalent: setup() once, predict() per request."""
 
     def __init__(self, task: str = "realsr_v3", ckpt: str | None = None,
-                 vqgan_ckpt: str | None = None, seed: int = 12345, bf16: bool = True):
+                 vqgan_ckpt: str | None = None, seed: int = 12345, bf16: bool = True,
+                 chop_bs: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -45,6 +46,9 @@ class Predictor:
             self.params = self.pipe.init_params(jax.random.PRNGKey(0))
         self._key = __import__("jax").random.PRNGKey(seed)
         self._count = 0
+        # tiles per forward when chopping big images; 128 is the measured
+        # single-chip serving sweet spot (PERF.md tile-batch sweep)
+        self.chop_bs = chop_bs
 
     def predict(self, image: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
         """image: HWC RGB uint8 or [0,1] float -> restored HWC [0,1] float."""
@@ -58,7 +62,7 @@ class Predictor:
         m = to_model(mask) if mask is not None else None
         self._count += 1
         out = self.pipe.sample(self.params, lq, jax.random.fold_in(self._key, self._count),
-                               mask=m)
+                               mask=m, tile_bs=self.chop_bs)
         sr = from_model(np.asarray(out))[0]
         if m is not None:
             m01 = np.asarray(m)[0] * 0.5 + 0.5
@@ -165,8 +169,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | None = None,
-          host: str = "0.0.0.0", port: int = 8080):
-    _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt)
+          host: str = "0.0.0.0", port: int = 8080, chop_bs: int = 1):
+    _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt, chop_bs=chop_bs)
     _Handler.task = task
     httpd = ThreadingHTTPServer((host, port), _Handler)
     print(f"[serve] {task} listening on {host}:{port} (browser demo at /)",
@@ -181,8 +185,11 @@ def main(argv=None):
     p.add_argument("--vqgan-ckpt", default=None)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--chop-bs", type=int, default=1,
+                   help="tiles per forward when chopping large inputs "
+                        "(128 = measured single-chip sweet spot)")
     a = p.parse_args(argv)
-    serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port)
+    serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port, a.chop_bs)
 
 
 if __name__ == "__main__":
