@@ -433,9 +433,19 @@ class BasicLayer(nn.Module):
     qk_scale: float | None = None
     patch_norm: bool = False
     dtype: Dtype = jnp.float32
+    # tri-state kernel switch: True/False force the Pallas/XLA path and are
+    # part of the module (hence of any jit cache key that closes over it);
+    # None = decide at trace time via `pallas_available()`
+    use_pallas: bool | None = None
+    # profiling ablation (tools/profile_step_census.py): replace the whole
+    # layer by identity — creates no params, so a full param tree still
+    # applies (flax ignores unused subtrees)
+    identity: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.identity:
+            return x
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=p, dtype=self.dtype,
                     name="patch_embed_proj")(x)
@@ -460,6 +470,7 @@ class BasicLayer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"block{i}",
             )(xt, h, w, stats)
         x = window_reverse_tokens(xt, ws, h, w)

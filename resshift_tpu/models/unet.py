@@ -52,6 +52,11 @@ class UNetModelSwin(nn.Module):
     cond_mask: bool = False
     lq_size: int = 64
     dtype: Dtype = jnp.float32
+    # Swin-kernel switch, threaded to every BasicLayer: True/False pin the
+    # Pallas/XLA path for all traces of this module instance (the trainer
+    # pins False — under AD the custom VJPs recompute the XLA composition,
+    # making the Pallas forward pure extra work); None = auto at trace time
+    use_pallas: bool | None = None
 
     def _nrb(self) -> list[int]:
         n = self.num_res_blocks
@@ -75,6 +80,7 @@ class UNetModelSwin(nn.Module):
             qkv_bias=True,
             patch_norm=self.patch_norm,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name=name,
         )
 

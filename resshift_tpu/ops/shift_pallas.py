@@ -48,7 +48,10 @@ def _fwd_kernel(cur_ref, nxt_ref, o_ref, *, k, nww, ws, shift):
     cur = cur_ref[...].reshape(bb, k, nww, ws, ws, c)
     nxt = nxt_ref[...].reshape(bb, 1, nww, ws, ws, c)
     # rows: shifted (wi, ri<ws-s) <- wi rows ri+s; else <- wi+1 rows 0..s
-    nrow = jnp.concatenate([cur[:, 1:], nxt], axis=1)
+    # k == 1: the row comes entirely from the neighbor ref (Mosaic rejects
+    # the zero-size cur[:, 1:] slice — same guard as _shift_assemble in
+    # swin_block_pallas.py)
+    nrow = nxt if k == 1 else jnp.concatenate([cur[:, 1:], nxt], axis=1)
     x = jnp.concatenate([cur[:, :, :, shift:], nrow[:, :, :, :shift]], axis=3)
     # cols: same pattern, window-columns wrap within the row
     nc = jnp.concatenate([x[:, :, 1:], x[:, :, :1]], axis=2)
@@ -60,7 +63,7 @@ def _inv_kernel(prv_ref, cur_ref, o_ref, *, k, nww, ws, shift):
     bb, _, c = cur_ref.shape
     prv = prv_ref[...].reshape(bb, 1, nww, ws, ws, c)
     cur = cur_ref[...].reshape(bb, k, nww, ws, ws, c)
-    prow = jnp.concatenate([prv, cur[:, :k - 1]], axis=1)
+    prow = prv if k == 1 else jnp.concatenate([prv, cur[:, :k - 1]], axis=1)
     x = jnp.concatenate([prow[:, :, :, ws - shift:], cur[:, :, :, :ws - shift]], axis=3)
     pc = jnp.concatenate([x[:, :, -1:], x[:, :, :-1]], axis=2)
     x = jnp.concatenate([pc[:, :, :, :, ws - shift:], x[:, :, :, :, :ws - shift]], axis=4)

@@ -29,7 +29,6 @@ rounding.  The XLA functions are also the CPU/test path.
 
 from __future__ import annotations
 
-import contextlib
 import functools
 import os
 
@@ -53,37 +52,18 @@ __all__ = ["gn_fold", "token_stats", "fold_stats", "norm_attn_residual",
 _CROSS_MASK = -1e9
 
 
-_TRACE_DISABLED = 0
-
-
-@contextlib.contextmanager
-def pallas_disabled():
-    """Trace-scoped kill switch for the Swin-block kernels.
-
-    The trainer wraps its step trace in this: under AD the custom VJPs
-    recompute the XLA composition anyway, so the Pallas forward is pure
-    extra work there (measured +3% step time) — while validation/inference
-    traces outside the context keep the fused kernels.  `pallas_available`
-    is consulted at TRACE time (Python control flow), so this costs nothing
-    at run time.
-
-    CAVEAT: the flag is not part of any jit cache key.  It only affects
-    functions whose FIRST call (= trace) happens inside the context; an
-    already-compiled callable keeps whichever path it was traced with.
-    Wrap the jitted function's calls (as the trainer does), not arbitrary
-    later invocations."""
-    global _TRACE_DISABLED
-    _TRACE_DISABLED += 1
-    try:
-        yield
-    finally:
-        _TRACE_DISABLED -= 1
-
-
 def pallas_available() -> bool:
+    """Default (auto) kernel-path decision, consulted at TRACE time.
+
+    Callers that need an explicit choice pin it through the `use_pallas`
+    module field (models/swin.py BasicLayer/SwinTransformerBlock,
+    models/unet.py UNetModelSwin) — the pinned value lives on the module
+    instance, so it is captured by any closure/jit built from it and two
+    differently-pinned clones can never share a trace.  The trainer pins
+    False (under AD the custom VJPs recompute the XLA composition, making
+    the Pallas forward pure extra work); inference leaves None = this
+    auto check."""
     if not _PALLAS_OK:
-        return False
-    if _TRACE_DISABLED:
         return False
     if os.environ.get("RSTPU_NO_PALLAS"):  # global kill switch (perf A/B)
         return False
@@ -257,15 +237,17 @@ def _attn_body(x, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         )  # (ng, ns, ns)
         # softmax without VPU lane reductions (measured −0.55 ms/call):
         # the row-max subtraction is a CONSTANT shift (already folded into
-        # bm by _prep_bias; exact-softmax-equivalent for shifted scores in
-        # [-60, 60] — GN-bounded scores are ±~50) and the normalizer rides
-        # the AV matmul as an appended ones column (hd=32 pads to 128
-        # output lanes, so the extra column is free MXU work).  The clip
-        # makes NaN impossible for ANY input: p ∈ [e^-60, e^60], so the
-        # denominator can neither underflow to 0 nor overflow f32; clipped
-        # tails keep relative weight ≤ e^-60·n_win — below f32 rounding.
-        # Mask entries (−1e9 in bm) clip to weight e^-60 ≈ 9e-27: dead.
-        p = jnp.exp(jnp.clip(s + bm_ref[:, h], -60.0, 60.0)).astype(v.dtype)
+        # bm by _prep_bias) and the normalizer rides the AV matmul as an
+        # appended ones column (hd=32 pads to 128 output lanes, so the
+        # extra column is free MXU work).  GN-bounded raw scores are ±~50,
+        # i.e. [-80, +20] after the -30 fold — the [-80, 80] window covers
+        # that whole band, so the clip is exact-softmax-equivalent for any
+        # realistic score and merely bounds adversarial ones.  NaN stays
+        # impossible: p ∈ [e^-80, e^80]; the denominator can neither
+        # underflow to 0 nor overflow f32 (ns·e^80 ≤ 512·5.5e34 ≈ 2.8e37
+        # < f32 max).  Mask entries (−1e9 in bm) clip to e^-80 ≈ 1.8e-35:
+        # ≥e^-100 below any in-band row max — dead at f32 precision.
+        p = jnp.exp(jnp.clip(s + bm_ref[:, h], -80.0, 80.0)).astype(v.dtype)
         ones = jnp.ones((ng, ns, 1), v.dtype)
         v_aug = jnp.concatenate([v[:, :, sl], ones], axis=-1)
         oa = jax.lax.dot_general(

