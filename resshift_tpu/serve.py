@@ -9,26 +9,58 @@ Capability parity with the reference's serving layer:
 
       python -m resshift_tpu.serve --task realsr_v3 --port 8080
       curl -X POST --data-binary @lq.png localhost:8080/restore > sr.png
+
+Concurrency model (unlike the reference's per-request Cog sampler build):
+all device work runs on ONE dedicated worker thread fed by a request
+queue, so concurrent HTTP handler threads can never race the pipeline's
+jit cache or the PRNG counter.  The worker micro-batches same-shape
+requests that arrive within `batch_window_s` (up to `max_batch`, default
+the measured single-chip sweet spot region) into a single sampler call —
+each image in the batch draws independent prior noise, so identical
+concurrent inputs still produce distinct stochastic restorations.
 """
 
 from __future__ import annotations
 
 import argparse
-import io
+import dataclasses
+import itertools
 import json
+import queue as _queue
 import sys
+import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
+@dataclasses.dataclass
+class _Request:
+    lq: np.ndarray                      # (1, H, W, C) model-space [-1,1]
+    mask: np.ndarray | None
+    done: threading.Event
+    result: np.ndarray | None = None    # (H*sf, W*sf, C) [0,1]
+    error: Exception | None = None
+
+    @property
+    def sig(self):
+        return (self.lq.shape,
+                None if self.mask is None else self.mask.shape)
+
+
 class Predictor:
-    """predict.py-equivalent: setup() once, predict() per request."""
+    """predict.py-equivalent: setup() once, predict() per request.
+
+    Thread-safe: `predict` may be called from any number of threads; calls
+    are funneled through a single device-worker thread and batched.
+    """
 
     def __init__(self, task: str = "realsr_v3", ckpt: str | None = None,
                  vqgan_ckpt: str | None = None, seed: int = 12345, bf16: bool = True,
-                 chop_bs: int = 1):
+                 chop_bs: int = 1, max_batch: int = 8,
+                 batch_window_s: float = 0.01):
         import jax
         import jax.numpy as jnp
 
@@ -44,30 +76,121 @@ class Predictor:
         else:
             print("WARNING: serving with RANDOM weights (no --ckpt)", file=sys.stderr)
             self.params = self.pipe.init_params(jax.random.PRNGKey(0))
-        self._key = __import__("jax").random.PRNGKey(seed)
-        self._count = 0
+        self._key = jax.random.PRNGKey(seed)
+        self._count = itertools.count(1)   # consumed only on the worker thread
         # tiles per forward when chopping big images; 128 is the measured
         # single-chip serving sweet spot (PERF.md tile-batch sweep)
         self.chop_bs = chop_bs
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window_s = float(batch_window_s)
+
+        self._requests: _queue.Queue = _queue.Queue()
+        self._pending: deque = deque()     # worker-local overflow (mixed shapes)
+        self.batch_sizes: list[int] = []   # observability: images per forward
+        self._worker = threading.Thread(target=self._worker_loop,
+                                        name="predictor-device-worker", daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------ public
 
     def predict(self, image: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
         """image: HWC RGB uint8 or [0,1] float -> restored HWC [0,1] float."""
-        import jax
-
-        from .utils.image_io import from_model, to_model
+        from .utils.image_io import to_model
 
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0
-        lq = to_model(image)
-        m = to_model(mask) if mask is not None else None
-        self._count += 1
-        out = self.pipe.sample(self.params, lq, jax.random.fold_in(self._key, self._count),
-                               mask=m, tile_bs=self.chop_bs)
-        sr = from_model(np.asarray(out))[0]
-        if m is not None:
-            m01 = np.asarray(m)[0] * 0.5 + 0.5
+        req = _Request(lq=np.asarray(to_model(image)),
+                       mask=None if mask is None else np.asarray(to_model(mask)),
+                       done=threading.Event())
+        self._requests.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        sr = req.result
+        if req.mask is not None:   # inpainting paste-back (sampler.py:219-222)
+            m01 = req.mask[0] * 0.5 + 0.5
             sr = sr * m01 + image[..., :3] * (1 - m01)
         return sr
+
+    def warmup(self, hw: tuple[int, int] = (64, 64), batch_sizes=(1,)):
+        """Pre-compile the sampler for the advertised operating point(s) so
+        the first real request does not pay the 20-40 s XLA compile."""
+        for bs in batch_sizes:
+            reqs = [
+                _Request(lq=np.zeros((1, hw[0], hw[1], 3), np.float32),
+                         mask=None, done=threading.Event())
+                for _ in range(bs)
+            ]
+            for r in reqs:
+                self._requests.put(r)
+            for r in reqs:
+                r.done.wait()
+                if r.error is not None:
+                    raise r.error
+
+    def close(self):
+        self._requests.put(None)
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------ worker
+
+    def _collect(self):
+        """Blocking: return the next same-shape batch of requests (or None on
+        shutdown).  Mixed-shape arrivals are parked in `_pending`."""
+        if self._pending:
+            first = self._pending.popleft()
+        else:
+            first = self._requests.get()
+            if first is None:
+                return None
+        batch, sig = [first], first.sig
+        # drain parked requests with a matching signature first
+        keep = deque()
+        while self._pending and len(batch) < self.max_batch:
+            r = self._pending.popleft()
+            (batch if r.sig == sig else keep).append(r)
+        self._pending.extendleft(reversed(keep))
+        # then wait out the batching window for more arrivals
+        deadline = time.monotonic() + self.batch_window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                r = self._requests.get(timeout=remaining)
+            except _queue.Empty:
+                break
+            if r is None:            # shutdown: finish this batch first
+                self._requests.put(None)
+                break
+            (batch if r.sig == sig else self._pending).append(r)
+        return batch
+
+    def _worker_loop(self):
+        import jax
+
+        from .utils.image_io import from_model
+
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            self.batch_sizes.append(len(batch))
+            try:
+                lq = np.concatenate([r.lq for r in batch], axis=0)
+                mask = (np.concatenate([r.mask for r in batch], axis=0)
+                        if batch[0].mask is not None else None)
+                key = jax.random.fold_in(self._key, next(self._count))
+                out = self.pipe.sample(self.params, lq, key, mask=mask,
+                                       tile_bs=self.chop_bs)
+                sr = from_model(np.asarray(out))
+                for i, r in enumerate(batch):
+                    r.result = sr[i]
+                    r.done.set()
+            except Exception as e:  # noqa: BLE001 — deliver, don't kill worker
+                for r in batch:
+                    r.error = e
+                    r.done.set()
 
 
 _DEMO_PAGE = """<!doctype html>
@@ -169,9 +292,16 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | None = None,
-          host: str = "0.0.0.0", port: int = 8080, chop_bs: int = 1):
-    _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt, chop_bs=chop_bs)
+          host: str = "0.0.0.0", port: int = 8080, chop_bs: int = 1,
+          max_batch: int = 8, warmup: str | None = None):
+    _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt, chop_bs=chop_bs,
+                                   max_batch=max_batch)
     _Handler.task = task
+    if warmup:
+        h, w = (int(v) for v in warmup.lower().split("x"))
+        print(f"[serve] warming up jit for {h}x{w} (bs 1 and {max_batch})...",
+              file=sys.stderr)
+        _Handler.predictor.warmup((h, w), batch_sizes=(1, max_batch))
     httpd = ThreadingHTTPServer((host, port), _Handler)
     print(f"[serve] {task} listening on {host}:{port} (browser demo at /)",
           file=sys.stderr)
@@ -188,8 +318,13 @@ def main(argv=None):
     p.add_argument("--chop-bs", type=int, default=1,
                    help="tiles per forward when chopping large inputs "
                         "(128 = measured single-chip sweet spot)")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="concurrent same-shape requests batched per forward")
+    p.add_argument("--warmup", default=None, metavar="HxW",
+                   help="pre-compile the sampler for this input size, e.g. 64x64")
     a = p.parse_args(argv)
-    serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port, a.chop_bs)
+    serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port, a.chop_bs,
+          a.max_batch, a.warmup)
 
 
 if __name__ == "__main__":

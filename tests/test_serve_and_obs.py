@@ -30,6 +30,82 @@ def test_measure():
     assert r["compile_s"] >= 0 and r["steady_s"] >= 0
 
 
+def _tiny_predictor(**kw):
+    from tests.test_pipeline import tiny_config
+
+    from resshift_tpu.serve import Predictor
+
+    return Predictor(tiny_config(), bf16=False, **kw)
+
+
+def test_predictor_concurrent_requests_batched():
+    """Threads posting simultaneously get distinct outputs, the device
+    worker batches same-shape requests, and nothing races (VERDICT: the
+    old ThreadingHTTPServer dispatch shared one Predictor unguarded)."""
+    pred = _tiny_predictor(max_batch=8, batch_window_s=0.5)
+    try:
+        pred.warmup((16, 16), batch_sizes=(1,))  # serial compile first
+        img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+        n = 6
+        results: list = [None] * n
+        errors: list = []
+
+        def post(i):
+            try:
+                results[i] = pred.predict(img)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert all(r is not None and r.shape == (64, 64, 3) for r in results)
+        # identical inputs -> distinct stochastic restorations (per-image noise)
+        for i in range(1, n):
+            assert not np.array_equal(results[0], results[i])
+        # the worker actually batched: fewer forwards than requests
+        post_warmup = pred.batch_sizes[1:]
+        assert sum(post_warmup) == n
+        assert len(post_warmup) < n and max(post_warmup) >= 2
+    finally:
+        pred.close()
+
+
+def test_predictor_mixed_shapes_and_errors():
+    """Different-shape concurrent requests are grouped separately and both
+    served; a failing request reports its error without killing the worker."""
+    pred = _tiny_predictor(max_batch=4, batch_window_s=0.05)
+    try:
+        rng = np.random.default_rng(1)
+        a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        b = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        out: dict = {}
+
+        def post(name, im):
+            out[name] = pred.predict(im)
+
+        threads = [threading.Thread(target=post, args=("a", a)),
+                   threading.Thread(target=post, args=("b", b)),
+                   threading.Thread(target=post, args=("a2", a))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert out["a"].shape == (64, 64, 3)
+        assert out["b"].shape == (128, 128, 3)
+        assert out["a2"].shape == (64, 64, 3)
+        # a bad request surfaces as an exception to its caller only
+        with pytest.raises(Exception):
+            pred.predict(np.zeros((2, 16, 16, 3), np.uint8))  # 4D: invalid
+        # worker still alive and serving
+        assert pred.predict(a).shape == (64, 64, 3)
+    finally:
+        pred.close()
+
+
 def test_http_serving_roundtrip(monkeypatch):
     """Boot the HTTP server with a stub predictor and drive it end-to-end."""
     import cv2
