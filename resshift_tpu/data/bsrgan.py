@@ -1,10 +1,17 @@
-"""BSRGAN-light degradation (host numpy/cv2) — the `bicsr`-family training
-pipe option and the `bsrgan`/`bsrganimagenet` dataset types.
+"""BSRGAN degradations (host numpy/cv2) — the `bicsr`-family training
+pipe options and the `bsrgan`/`bsrganimagenet` dataset types.
 
 Parity with `datapipe/degradation_bsrgan/bsrgan_light.py`:
-  * `degradation_bsrgan_variant` (:561-650): shuffled-order chain of blur /
-    two downsample stages / Gaussian noise / JPEG, with downsample3 kept
-    last, optional 2x pre-downsample when sf=4, and a final JPEG pass;
+  * `degradation_bsrgan_light` == `degradation_bsrgan_variant` (:561-650):
+    shuffled-order chain of blur / two downsample stages / Gaussian noise /
+    JPEG, with downsample3 kept last, optional 2x pre-downsample when sf=4,
+    and a final JPEG pass;
+  * `degradation_bsrgan` == the full chain (:466-560, selectable via
+    `degradation='bsrgan'` at datapipe/datasets.py:246-251): TWO blur
+    slots, downsample2 prob 0.75, Gaussian noise levels (2, 8), a minimum
+    input-size guard, and a final paired random crop to `lq_patchsize`
+    (the reference's ISP-model slot i==6 is a structural no-op — every
+    shipped call passes `isp_model=None`);
   * helpers: anisotropic/fspecial Gaussian kernels (:129-198), shifted-pixel
     nearest downsampling (:99-127), mixed color/gray/correlated Gaussian
     noise (:373-395), cv2 JPEG round-trip (:422-428), USM sharpening (:299).
@@ -20,8 +27,8 @@ from scipy.linalg import orth
 
 from ..ops.resize import imresize_matlab
 
-__all__ = ["degradation_bsrgan_light", "add_blur", "add_gaussian_noise_bsr",
-           "add_jpeg_noise"]
+__all__ = ["degradation_bsrgan_light", "degradation_bsrgan", "add_blur",
+           "add_gaussian_noise_bsr", "add_jpeg_noise"]
 
 _CV2_INTERP = [cv2.INTER_LINEAR, cv2.INTER_CUBIC, cv2.INTER_AREA]  # choices 1/2/3
 
@@ -109,11 +116,11 @@ def add_jpeg_noise(rng: np.random.Generator, img: np.ndarray,
     return cv2.cvtColor(dec, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 
-def degradation_bsrgan_light(rng: np.random.Generator, image: np.ndarray,
-                             sf: int = 4, use_sharp: bool = False):
-    """Returns (lq, hq): lq at 1/sf resolution, RGB [0,1]."""
-    from .faces import _jpeg_np  # noqa: F401 (kept local helpers above)
-
+def _bsrgan_chain(rng: np.random.Generator, image: np.ndarray, sf: int,
+                  use_sharp: bool, *, second_blur: bool, down2_prob: float,
+                  noise_levels: tuple[int, int]):
+    """Shared shuffled-order BSRGAN core; the light/full variants differ
+    only in the knobs (bsrgan_light.py:466-560 vs :561-650)."""
     jpeg_prob, scale2_prob = 0.9, 0.25
     h1, w1 = image.shape[:2]
     image = image.copy()[:w1 - w1 % sf, :h1 - h1 % sf, ...]
@@ -145,9 +152,13 @@ def degradation_bsrgan_light(rng: np.random.Generator, image: np.ndarray,
     for i in order:
         if i == 0:
             image = add_blur(rng, image, sf=sf_run)
+        elif i == 1 and second_blur:
+            # full chain only (bsrgan_light.py:514-515); commented out in
+            # the light variant (:606-607)
+            image = add_blur(rng, image, sf=sf_run)
         elif i == 2:
             a, b = image.shape[1], image.shape[0]
-            if rng.random() < 0.8:
+            if rng.random() < down2_prob:
                 sf1 = rng.uniform(1, 2 * sf_run)
                 interp = _CV2_INTERP[int(rng.integers(3))]
                 image = cv2.resize(image, (int(image.shape[1] / sf1),
@@ -166,10 +177,45 @@ def degradation_bsrgan_light(rng: np.random.Generator, image: np.ndarray,
                                interpolation=interp)
             image = np.clip(image, 0.0, 1.0)
         elif i == 4:
-            image = add_gaussian_noise_bsr(rng, image, 1, 2)
+            image = add_gaussian_noise_bsr(rng, image, *noise_levels)
         elif i == 5:
             if rng.random() < jpeg_prob:
                 image = add_jpeg_noise(rng, image)
+        # i == 6: camera-ISP slot — structural no-op (isp_model is always
+        # None in the reference's live path, datapipe/datasets.py:246-251)
 
     image = add_jpeg_noise(rng, image)
     return image.astype(np.float32), hq.astype(np.float32)
+
+
+def degradation_bsrgan_light(rng: np.random.Generator, image: np.ndarray,
+                             sf: int = 4, use_sharp: bool = False):
+    """Light chain (bsrgan_light.py:561-650 degradation_bsrgan_variant).
+    Returns (lq, hq): lq at 1/sf resolution, RGB [0,1]."""
+    return _bsrgan_chain(rng, image, sf, use_sharp, second_blur=False,
+                         down2_prob=0.8, noise_levels=(1, 2))
+
+
+def degradation_bsrgan(rng: np.random.Generator, image: np.ndarray,
+                       sf: int = 4, lq_patchsize: int = 72,
+                       use_sharp: bool = False):
+    """Full BSRGAN chain (bsrgan_light.py:466-560): two blur slots,
+    downsample2 prob 0.75, noise levels (2, 8), and a final paired random
+    crop of the lq to `lq_patchsize` (hq to lq_patchsize*sf).
+    Returns (lq, hq), RGB [0,1]."""
+    h, w = image.shape[:2]
+    if h < lq_patchsize * sf or w < lq_patchsize * sf:
+        raise ValueError(
+            f"img size ({h}x{w}) is too small for lq_patchsize={lq_patchsize} "
+            f"at sf={sf} (bsrgan_light.py:487-488)")
+    lq, hq = _bsrgan_chain(rng, image, sf, use_sharp, second_blur=True,
+                           down2_prob=0.75, noise_levels=(2, 8))
+    # paired random crop (bsrgan_light.py:431-439): crop lq, take the
+    # sf-scaled window from hq
+    lh, lw = lq.shape[:2]
+    top = int(rng.integers(0, lh - lq_patchsize + 1))
+    left = int(rng.integers(0, lw - lq_patchsize + 1))
+    lq = lq[top:top + lq_patchsize, left:left + lq_patchsize, :]
+    hq = hq[top * sf:(top + lq_patchsize) * sf,
+            left * sf:(left + lq_patchsize) * sf, :]
+    return lq, hq

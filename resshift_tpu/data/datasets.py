@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import queue as _queue
 import threading
+import weakref
 from pathlib import Path
 from typing import Any, Callable
 
@@ -406,24 +407,36 @@ class GFPGANData:
 
 
 class BSRGANData:
-    """BSRGAN-light degraded pairs (datapipe/datasets.py:208-344
-    BSRGANLightDeg[ImageNet]): HQ crop -> shuffled degradation chain."""
+    """BSRGAN degraded pairs (datapipe/datasets.py:208-344
+    BSRGANLightDeg[ImageNet]): HQ crop -> shuffled degradation chain.
+
+    `degradation` selects the chain like the reference's selector
+    (datapipe/datasets.py:246-251): 'bsrgan_light' (default) or the full
+    'bsrgan' (bsrgan_light.py:466-560).  For the full chain `lq_patchsize`
+    defaults to gt_size//sf so the emitted pair keeps the configured
+    gt_size (the reference's default 72 requires gt_size >= 72*sf)."""
 
     def __init__(self, dir_path=None, txt_file_path=None, sf=4, gt_size=256,
                  use_sharp=False, mean=0.5, std=0.5, length=None, need_path=False,
-                 im_exts="png", recursive=False, seed=0, **_):
+                 im_exts="png", recursive=False, seed=0,
+                 degradation="bsrgan_light", lq_patchsize=None, **_):
+        if degradation not in ("bsrgan", "bsrgan_light"):
+            raise ValueError(
+                f"Except bsrgan or bsrgan_light for degradation, now is {degradation}")
         self.rng = np.random.default_rng(seed)
         self.paths = _collect_paths(dir_path=dir_path, txt_file_path=txt_file_path,
                                     recursive=recursive, length=length, rng=self.rng)
         self.sf, self.gt_size, self.use_sharp = sf, gt_size, use_sharp
         self.mean, self.std = mean, std
         self.need_path = need_path
+        self.degradation = degradation
+        self.lq_patchsize = lq_patchsize if lq_patchsize is not None else gt_size // sf
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i):
-        from .bsrgan import degradation_bsrgan_light
+        from .bsrgan import degradation_bsrgan, degradation_bsrgan_light
 
         rng = self.rng
         im = imread(self.paths[i])
@@ -436,7 +449,13 @@ class BSRGANData:
         top = int(rng.integers(0, h - self.gt_size + 1))
         left = int(rng.integers(0, w - self.gt_size + 1))
         im = np.ascontiguousarray(im[top:top + self.gt_size, left:left + self.gt_size])
-        lq, gt = degradation_bsrgan_light(rng, im, sf=self.sf, use_sharp=self.use_sharp)
+        if self.degradation == "bsrgan":
+            lq, gt = degradation_bsrgan(rng, im, sf=self.sf,
+                                        lq_patchsize=self.lq_patchsize,
+                                        use_sharp=self.use_sharp)
+        else:
+            lq, gt = degradation_bsrgan_light(rng, im, sf=self.sf,
+                                              use_sharp=self.use_sharp)
         out = {"gt": _normalize(gt, self.mean, self.std),
                "lq": _normalize(np.clip(lq, 0, 1), self.mean, self.std)}
         if self.need_path:
@@ -576,6 +595,22 @@ class DataLoader:
         self._workers = copies
         self._pool = [_cf.ThreadPoolExecutor(max_workers=1)
                       for _ in range(self.num_workers)]
+        # release the worker threads + dataset copies when the loader is
+        # garbage-collected (repeated loader construction must not leak
+        # num_workers threads per instance for the process lifetime)
+        weakref.finalize(self, DataLoader._shutdown_pool, self._pool)
+
+    @staticmethod
+    def _shutdown_pool(pool):
+        for ex in pool:
+            ex.shutdown(wait=False)
+
+    def close(self):
+        """Shut down worker threads and drop per-worker dataset copies."""
+        if self._pool is not None:
+            self._shutdown_pool(self._pool)
+            self._pool = None
+            self._workers = None
 
     def _fetch_items(self, chunk):
         """Item loads for one batch; `num_workers` threads when requested
@@ -589,26 +624,26 @@ class DataLoader:
             return [f.result() for f in futs]
         return [self.ds[i] for i in chunk]
 
-    def _batches(self):
+    def _batches(self, start_batch: int = 0):
         idx = self._epoch_indices()
         stop = len(idx) - (len(idx) % self.bs) if self.drop_last else len(idx)
-        for s in range(0, stop, self.bs):
+        for s in range(start_batch * self.bs, stop, self.bs):
             items = self._fetch_items([int(i) for i in idx[s:s + self.bs]])
             keys = items[0].keys()
             yield {k: (np.stack([it[k] for it in items])
                        if not isinstance(items[0][k], str)
                        else [it[k] for it in items]) for k in keys}
 
-    def __iter__(self):
+    def _iter_from(self, start_batch: int = 0):
         if self.prefetch <= 0:
-            yield from self._batches()
+            yield from self._batches(start_batch)
             self.epoch += 1
             return
         q: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
-            for b in self._batches():
+            for b in self._batches(start_batch):
                 q.put(b)
             q.put(stop)
 
@@ -621,8 +656,24 @@ class DataLoader:
             yield b
         self.epoch += 1
 
-    def infinite(self):
+    def __iter__(self):
+        yield from self._iter_from(0)
+
+    def infinite(self, skip_batches: int = 0):
         """Endless iterator (the reference wraps its loader the same way —
-        trainer.py:237-238)."""
+        trainer.py:237-238).
+
+        `skip_batches` fast-forwards the index stream WITHOUT loading items
+        (resume support): the epoch shuffle is a pure function of
+        (seed, epoch), so skipping replays positions exactly.  For datasets
+        with no internal draw state (e.g. paired folders) the resumed data
+        stream is bit-identical to an uninterrupted run; datasets that
+        consume their own `rng` per item resume with a fresh-but-
+        deterministic stream — the reference's behavior (it reseeds with
+        seed=iters_start on resume, trainer.py:189-190)."""
+        per_epoch = max(1, len(self))
+        self.epoch += skip_batches // per_epoch
+        start = skip_batches % per_epoch
         while True:
-            yield from self
+            yield from self._iter_from(start)
+            start = 0

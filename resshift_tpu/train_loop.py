@@ -199,12 +199,20 @@ class Trainer:
             return self.degrader(self.np_rng, key, raw)
         return {k: v for k, v in raw.items() if not isinstance(v, list)}
 
-    def train(self):
+    def train(self, stop_iter: int | None = None):
+        """Run the loop to `train.iterations` (or the earlier `stop_iter` —
+        an interruption point: the LR schedule, loader stream, and PRNG keys
+        are those of the full-length run, so a later resume continues
+        bit-identically)."""
         log_path = self.save_dir / "train_log.jsonl"
         it = self.start_iter
-        data_iter = self.loader.infinite()
+        end = self.tcfg.iterations if stop_iter is None else min(
+            stop_iter, self.tcfg.iterations)
+        # fast-forward the deterministic index stream on resume so the
+        # continuation sees the same batches an uninterrupted run would
+        data_iter = self.loader.infinite(skip_batches=self.start_iter)
         t0 = time.time()
-        while it < self.tcfg.iterations:
+        while it < end:
             raw = next(data_iter)
             key = iteration_key(self.seed, it, jax.process_index())
             batch = self.prepare_batch(raw, jax.random.fold_in(key, 1))
@@ -285,13 +293,20 @@ class Trainer:
         progressive-sampling strip (trainer.py:851-950), using the EMA
         params like `use_ema_val: True`.
 
+        Runs the FULL val set by default (the reference iterates its whole
+        val loader, trainer.py:880-896); bound it with
+        `train.val_max_images` in the config.  LPIPS runs batched on
+        device (one call per same-shape group, not one per image), and the
+        val metrics are appended to `train_log.jsonl` alongside the train
+        scalars (reference logs them as scalars, trainer.py:940-945).
+
         Single-host multi-device runs batch same-shape val images over the
         mesh (`sample_batch_sharded`), so validation does not idle N-1 chips
         the way the reference's rank-0 validation does.
         """
         if max_images is None:
-            max_images = int(dict(self.config.get("train", {}))
-                             .get("val_max_images", 8))
+            raw = dict(self.config.get("train", {})).get("val_max_images")
+            max_images = int(raw) if raw else None
         ds = create_dataset(self.val_cfg)
         params = {"unet": self.state.ema_params}
         if self.vq_params is not None:
@@ -299,7 +314,8 @@ class Trainer:
         psnr = ssim = lpips_sum = 0.0
         n = 0
         key = jax.random.PRNGKey(0)
-        items = [ds[i] for i in range(min(len(ds), max_images))]
+        n_items = len(ds) if max_images is None else min(len(ds), max_images)
+        items = [ds[i] for i in range(n_items)]
         use_sharded = self.n_dev > 1 and jax.process_count() == 1
 
         # progressive strip for the first val image
@@ -333,16 +349,30 @@ class Trainer:
                 if i == 0:
                     imwrite(sr01[j], self.save_dir / "images" / "val"
                             / f"val_{it:06d}.png")
-                if "gt" in item:
-                    gt = np.asarray(item["gt"])[None]
-                    gt01 = from_model(gt)
-                    psnr += batch_psnr(sr01[j:j + 1], gt01, ycbcr=True)
-                    ssim += batch_ssim(sr01[j:j + 1], gt01, ycbcr=True)
-                    if self.lpips_fn is not None:
-                        lpips_sum += float(jnp.mean(self.lpips_fn(
-                            jnp.asarray(sr01[j:j + 1] * 2 - 1), jnp.asarray(gt))))
-                    n += 1
+            with_gt = [(j, item) for j, (_, item) in enumerate(group)
+                       if "gt" in item]
+            if with_gt:
+                idx = [j for j, _ in with_gt]
+                gt = np.stack([np.asarray(item["gt"]) for _, item in with_gt])
+                gt01 = from_model(gt)
+                sr_sel = sr01[idx]
+                m = len(idx)
+                psnr += batch_psnr(sr_sel, gt01, ycbcr=True) * m
+                ssim += batch_ssim(sr_sel, gt01, ycbcr=True) * m
+                if self.lpips_fn is not None:
+                    # one batched device call per group (not per image)
+                    v = self.lpips_fn(jnp.asarray(sr_sel * 2 - 1), jnp.asarray(gt))
+                    v = jnp.mean(v.reshape(m, -1), axis=1)
+                    lpips_sum += float(jnp.sum(v))
+                n += m
         if n:
+            metrics = {"iter": it, "val_n": n, "val_psnr_y": psnr / n,
+                       "val_ssim_y": ssim / n}
+            if self.lpips_fn is not None:
+                metrics["val_lpips"] = lpips_sum / n
+            with open(self.save_dir / "train_log.jsonl", "a") as f:
+                f.write(json.dumps({k: (float(v) if not isinstance(v, int) else v)
+                                    for k, v in metrics.items()}) + "\n")
             msg = f"[val @{it}] PSNR(Y)={psnr / n:.2f} SSIM(Y)={ssim / n:.4f}"
             if self.lpips_fn is not None:
                 msg += f" LPIPS={lpips_sum / n:.4f}"

@@ -152,6 +152,55 @@ def test_dataloader_workers_stochastic_deterministic():
     assert not np.array_equal(m[0], m[1]) or not np.array_equal(m[0], m[2])
 
 
+def test_dataloader_workers_released():
+    """Worker threads/dataset copies are released by close() and by GC
+    (repeated loader construction must not leak threads)."""
+    import gc
+    import threading as _th
+
+    ds = BaseData(dir_path=f"{TD}/Bicubicx4/lq_matlab")
+
+    dl = DataLoader(ds, batch_size=2, shuffle=False, prefetch=0, num_workers=3)
+    next(iter(dl))
+    assert dl._pool is not None
+    dl.close()
+    assert dl._pool is None and dl._workers is None
+    # closed loader still works (workers lazily rebuilt)
+    next(iter(dl))
+    dl.close()
+
+    before = _th.active_count()
+    for _ in range(4):
+        dl = DataLoader(ds, batch_size=2, shuffle=False, prefetch=0,
+                        num_workers=3)
+        next(iter(dl))
+        del dl
+        gc.collect()
+    # allow executor threads a moment to exit after shutdown(wait=False)
+    import time
+    for _ in range(50):
+        if _th.active_count() <= before + 3:
+            break
+        time.sleep(0.05)
+    assert _th.active_count() <= before + 3  # no 12-thread accumulation
+
+
+def test_dataloader_infinite_skip_replays_stream():
+    """`infinite(skip_batches=n)` fast-forwards the deterministic index
+    stream exactly (resume support): batch n+k of the skipped iterator
+    equals batch n+k of an uninterrupted one, across epoch boundaries."""
+    ds = BaseData(dir_path=f"{TD}/Bicubicx4/lq_matlab")  # deterministic items
+    mk = lambda: DataLoader(ds, batch_size=4, shuffle=True, seed=5, prefetch=0)
+
+    ref = mk().infinite()
+    full = [next(ref)["lq"] for _ in range(10)]  # 16 imgs/4 = 4 batches/epoch
+    for skip in (1, 3, 4, 7):  # within epoch, at boundary, across epochs
+        it = mk().infinite(skip_batches=skip)
+        got = [next(it)["lq"] for _ in range(3)]
+        for k in range(3):
+            np.testing.assert_array_equal(got[k], full[skip + k])
+
+
 def test_face_degradation_testing():
     from resshift_tpu.data.faces import face_degradation
 
@@ -182,6 +231,61 @@ def test_bsrgan_dataset_and_factory():
     item = ds[0]
     assert item["gt"].shape == (128, 128, 3)
     assert item["lq"].shape == (32, 32, 3)
+
+
+def test_bsrgan_full_degradation():
+    """Full (non-light) chain: bsrgan_light.py:466-560 — paired random crop
+    to lq_patchsize, heavier noise band, two blur slots, size guard."""
+    import pytest
+
+    from resshift_tpu.data.bsrgan import degradation_bsrgan, degradation_bsrgan_light
+
+    rng = np.random.default_rng(7)
+    im = imread(sorted(__import__('pathlib').Path(f"{TD}/Bicubicx4/gt").glob("*.png"))[0])
+    for _ in range(5):  # several shuffled orders
+        lq, gt = degradation_bsrgan(rng, im, sf=4, lq_patchsize=48)
+        assert lq.shape == (48, 48, 3)
+        assert gt.shape == (192, 192, 3)
+        assert np.isfinite(lq).all() and 0 <= lq.min() and lq.max() <= 1
+        assert np.isfinite(gt).all()
+    # size guard (bsrgan_light.py:487-488)
+    with pytest.raises(ValueError, match="too small"):
+        degradation_bsrgan(rng, im[:64, :64], sf=4, lq_patchsize=48)
+    # heavier degradation than the light chain: noise band (2,8) vs (1,2)
+    # and a second blur slot -> larger expected deviation from bicubic LQ,
+    # checked in aggregate over several draws
+    from resshift_tpu.ops.resize import imresize_matlab
+
+    def mean_dev(fn, n=6):
+        r = np.random.default_rng(3)
+        tot = 0.0
+        for _ in range(n):
+            lq, hq = fn(r)
+            ref = np.clip(imresize_matlab(hq, 1 / 4), 0, 1)
+            tot += np.abs(lq - ref[:lq.shape[0], :lq.shape[1]]).mean()
+        return tot / n
+
+    full = mean_dev(lambda r: degradation_bsrgan(r, im, sf=4,
+                                                 lq_patchsize=im.shape[0] // 4))
+    light = mean_dev(lambda r: degradation_bsrgan_light(r, im, sf=4))
+    assert full > 0.8 * light  # both real degradations, full not milder
+
+
+def test_bsrgan_dataset_full_selector():
+    """`degradation='bsrgan'` selector (datapipe/datasets.py:246-251)."""
+    import pytest
+
+    ds = create_dataset({"type": "bsrgan", "params": {
+        "dir_path": f"{TD}/Bicubicx4/gt", "sf": 4, "gt_size": 128,
+        "degradation": "bsrgan",
+        "transform_kwargs": {"mean": 0.5, "std": 0.5}}})
+    item = ds[0]
+    assert item["gt"].shape == (128, 128, 3)
+    assert item["lq"].shape == (32, 32, 3)
+    with pytest.raises(ValueError, match="bsrgan"):
+        create_dataset({"type": "bsrgan", "params": {
+            "dir_path": f"{TD}/Bicubicx4/gt", "degradation": "nope",
+            "transform_kwargs": {"mean": 0.5, "std": 0.5}}})
 
 
 def test_deg_from_source():

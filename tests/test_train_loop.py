@@ -75,6 +75,36 @@ def test_train_realesrgan_smoke(tmp_path):
     assert int(state.step) == 2
 
 
+def test_validation_metrics_logged(tmp_path):
+    """Val metrics land in train_log.jsonl alongside train scalars
+    (reference logs them as scalars — trainer.py:940-945), the val set is
+    bounded by config (train.val_max_images), and LPIPS runs batched."""
+    import json
+
+    cfg = tiny_train_config("bicubic", iterations=2)
+    cfg["train"]["val_freq"] = 2
+    cfg["train"]["val_max_images"] = 2
+    cfg["data"]["val"] = dict(type="bicubic", params=dict(
+        source_path=f"{TD}/Bicubicx4/gt",
+        degrade_kwargs={"scale": 0.25, "pch_size": 64},
+        transform_kwargs={"mean": 0.5, "std": 0.5}))
+    tr = Trainer(cfg, save_dir=str(tmp_path), seed=0)
+    tr.train()
+    lines = [json.loads(l) for l in
+             (tmp_path / "train_log.jsonl").read_text().strip().splitlines()]
+    val = [m for m in lines if "val_psnr_y" in m]
+    assert len(val) == 1
+    assert val[0]["val_n"] == 2  # bounded by val_max_images
+    assert np.isfinite(val[0]["val_psnr_y"]) and np.isfinite(val[0]["val_ssim_y"])
+    # full-set default: no bound configured -> every val item is scored
+    cfg["train"]["val_max_images"] = None
+    tr2 = Trainer(cfg, save_dir=str(tmp_path / "b"), seed=0)
+    tr2.validate(0)
+    lines2 = [json.loads(l) for l in
+              (tmp_path / "b" / "train_log.jsonl").read_text().strip().splitlines()]
+    assert lines2[-1]["val_n"] == 16  # all bundled GTs
+
+
 def test_checkpoint_save_resume_roundtrip(tmp_path):
     cfg = tiny_train_config("bicubic", iterations=2)
     tr = Trainer(cfg, save_dir=str(tmp_path), seed=0)
