@@ -286,8 +286,14 @@ def cmd_eval(args):
 
 
 def _run_eval_inference(pipe, params, args):
+    """Protocol inference (README.md:135-147 reproduce commands), sharded:
+    on a multi-chip host the image batch rides the mesh's data axis
+    (`sample_batch_sharded`) and a single over-chop image shards its tile
+    grid (`sample_tiles_sharded`), exactly like `cmd_infer` — the paper
+    protocols must not idle N-1 chips of a v5e-4."""
     import jax
 
+    from .parallel.mesh import make_mesh
     from .utils.image_io import from_model, imread, imwrite, list_images, to_model
 
     in_path, out_path = Path(args.in_path), Path(args.out_path)
@@ -295,6 +301,8 @@ def _run_eval_inference(pipe, params, args):
     files = list_images(in_path) if in_path.is_dir() else [in_path]
     key = jax.random.PRNGKey(args.seed)
     bs = args.bs
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
     t0 = time.perf_counter()
     batch, names = [], []
     done = 0
@@ -304,7 +312,15 @@ def _run_eval_inference(pipe, params, args):
         if not batch:
             return
         lq = np.concatenate(batch, axis=0)
-        sr = np.asarray(pipe.sample(params, lq, jax.random.fold_in(key, done)))
+        k = jax.random.fold_in(key, done)
+        if n_dev > 1 and lq.shape[0] > 1:
+            sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh)
+        elif n_dev > 1 and (lq.shape[1] > pipe.chop_size
+                            or lq.shape[2] > pipe.chop_size):
+            sr = pipe.sample_tiles_sharded(params, jax.numpy.asarray(lq), k, mesh)
+        else:
+            sr = pipe.sample(params, lq, k)
+        sr = np.asarray(sr)
         for j, f in enumerate(names):
             imwrite(from_model(sr[j:j + 1])[0], out_path / f"{f.stem}.png")
         done += len(names)

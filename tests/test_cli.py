@@ -123,3 +123,61 @@ def test_maybe_init_distributed_single_host(monkeypatch):
               "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
         monkeypatch.delenv(k, raising=False)
     assert maybe_init_distributed() is False
+
+
+def test_eval_inference_sharded_8dev(tmp_path, monkeypatch):
+    """`cli eval`'s protocol inference uses every device: the image batch
+    rides the mesh's data axis and an over-chop single image shards its
+    tile grid — same routing as `cmd_infer` (VERDICT #6)."""
+    import types
+
+    import cv2
+    import jax
+
+    from resshift_tpu.cli import _run_eval_inference
+    from resshift_tpu.pipeline import ResShiftPipeline
+    from tests.test_pipeline import tiny_config
+
+    assert len(jax.devices()) == 8
+    pipe = ResShiftPipeline(tiny_config(), dtype=None or jax.numpy.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "lq"
+    in_dir.mkdir()
+    for i in range(6):
+        cv2.imwrite(str(in_dir / f"im{i}.png"),
+                    rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+
+    calls = {"batch": 0, "tiles": 0}
+    orig_b, orig_t = pipe.sample_batch_sharded, pipe.sample_tiles_sharded
+
+    def spy_b(*a, **k):
+        calls["batch"] += 1
+        return orig_b(*a, **k)
+
+    def spy_t(*a, **k):
+        calls["tiles"] += 1
+        return orig_t(*a, **k)
+
+    monkeypatch.setattr(pipe, "sample_batch_sharded", spy_b)
+    monkeypatch.setattr(pipe, "sample_tiles_sharded", spy_t)
+
+    args = types.SimpleNamespace(in_path=str(in_dir), out_path=str(tmp_path / "sr"),
+                                 seed=0, bs=8, protocol="imagenet", gt_path=None)
+    _run_eval_inference(pipe, params, args)
+    assert calls["batch"] >= 1  # the DP-sharded path actually ran
+    outs = sorted((tmp_path / "sr").glob("*.png"))
+    assert len(outs) == 6
+    assert cv2.imread(str(outs[0])).shape == (64, 64, 3)
+
+    # single big image (40 > chop 16) with bs=1 -> tile-sharded path
+    big_dir = tmp_path / "big"
+    big_dir.mkdir()
+    cv2.imwrite(str(big_dir / "big.png"),
+                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    args2 = types.SimpleNamespace(in_path=str(big_dir), out_path=str(tmp_path / "sr2"),
+                                  seed=0, bs=1, protocol="realset", gt_path=None)
+    _run_eval_inference(pipe, params, args2)
+    assert calls["tiles"] >= 1
+    assert cv2.imread(str(tmp_path / "sr2" / "big.png")).shape == (160, 160, 3)
