@@ -154,10 +154,23 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Dtype = jnp.float32
+    # profiling ablation (tools/profile_step_census.py): reduce the block to
+    # its skip path (identity / pool / 1x1 skip conv) with unchanged shapes
+    skip_only: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         out_ch = self.out_channels or self.channels
+        if self.skip_only and not self.up:
+            if self.down:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            if out_ch == self.channels:
+                return x
+            if self.use_conv:
+                return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                               name="skip_connection")(x)
+            return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                           name="skip_connection")(x)
 
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
