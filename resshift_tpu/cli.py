@@ -433,8 +433,10 @@ def main(argv=None):
     # multi-host bootstrap BEFORE any jax device use (torchrun equivalent);
     # no-op on a single host unless --distributed forces it
     from .parallel.mesh import maybe_init_distributed
+    from .utils.compile_cache import enable_compile_cache
 
     maybe_init_distributed(force=getattr(args, "distributed", False))
+    enable_compile_cache()  # reuse sampler compilations across CLI restarts
     args.fn(args)
 
 

@@ -65,7 +65,9 @@ class Predictor:
         import jax.numpy as jnp
 
         from .pipeline import ResShiftPipeline
+        from .utils.compile_cache import enable_compile_cache
 
+        enable_compile_cache()  # serving restarts skip the 20-40 s jit
         self.pipe = ResShiftPipeline(task, dtype=jnp.bfloat16 if bf16 else jnp.float32)
         if ckpt and ckpt.endswith(".pth"):
             self.params = self.pipe.load_torch_checkpoints(ckpt, vqgan_ckpt)

@@ -89,12 +89,11 @@ class Trainer:
         self.val_freq = int(tcfg_raw.get("val_freq", self.save_freq))
 
         # persistent XLA compilation cache: big win for the shape-varied
-        # degradation stages across restarts
-        try:
-            cache_dir = str(self.save_dir / "xla_cache")
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-        except Exception:
-            pass
+        # degradation stages across restarts; kept inside save_dir so a
+        # training job's artifacts stay self-contained
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(str(self.save_dir / "xla_cache"))
 
         self.pipe = ResShiftPipeline(config, dtype=dtype)
         key = jax.random.PRNGKey(seed)
@@ -357,8 +356,10 @@ class Trainer:
                 gt01 = from_model(gt)
                 sr_sel = sr01[idx]
                 m = len(idx)
-                psnr += batch_psnr(sr_sel, gt01, ycbcr=True) * m
-                ssim += batch_ssim(sr_sel, gt01, ycbcr=True) * m
+                # batch_psnr/batch_ssim return SUMS over the batch
+                # (trainer.py:914-918 protocol) — accumulate directly
+                psnr += batch_psnr(sr_sel, gt01, ycbcr=True)
+                ssim += batch_ssim(sr_sel, gt01, ycbcr=True)
                 if self.lpips_fn is not None:
                     # one batched device call per group (not per image)
                     v = self.lpips_fn(jnp.asarray(sr_sel * 2 - 1), jnp.asarray(gt))

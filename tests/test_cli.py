@@ -181,3 +181,27 @@ def test_eval_inference_sharded_8dev(tmp_path, monkeypatch):
     _run_eval_inference(pipe, params, args2)
     assert calls["tiles"] >= 1
     assert cv2.imread(str(tmp_path / "sr2" / "big.png")).shape == (160, 160, 3)
+
+
+def test_compile_cache_helper(tmp_path, monkeypatch):
+    """Persistent-compile-cache helper: honors the env kill switch, creates
+    the directory, updates jax.config, and actually populates the cache."""
+    import jax
+
+    from resshift_tpu.utils.compile_cache import enable_compile_cache
+
+    monkeypatch.setenv("RSTPU_COMPILE_CACHE", "off")
+    assert enable_compile_cache(str(tmp_path / "never")) is None
+    assert not (tmp_path / "never").exists()
+
+    monkeypatch.delenv("RSTPU_COMPILE_CACHE")
+    d = enable_compile_cache(str(tmp_path / "xla"))
+    try:
+        assert d == str(tmp_path / "xla") and (tmp_path / "xla").is_dir()
+        assert jax.config.jax_compilation_cache_dir == d
+        # a fresh non-trivial jit lands in the cache (min compile time 0.5s
+        # may skip tiny programs on fast hosts — only assert when written)
+        x = jax.numpy.ones((256, 256))
+        jax.jit(lambda a: (a @ a).sum())(x).block_until_ready()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

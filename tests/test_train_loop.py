@@ -96,6 +96,9 @@ def test_validation_metrics_logged(tmp_path):
     assert len(val) == 1
     assert val[0]["val_n"] == 2  # bounded by val_max_images
     assert np.isfinite(val[0]["val_psnr_y"]) and np.isfinite(val[0]["val_ssim_y"])
+    # per-image scale, not a batch sum (batch_psnr/batch_ssim return sums)
+    assert 0 < val[0]["val_psnr_y"] < 100
+    assert 0 < val[0]["val_ssim_y"] <= 1
     # full-set default: no bound configured -> every val item is scored
     cfg["train"]["val_max_images"] = None
     tr2 = Trainer(cfg, save_dir=str(tmp_path / "b"), seed=0)
