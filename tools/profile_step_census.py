@@ -176,6 +176,16 @@ def main():
                 "tflop": round(ra["tflop"] - rb["tflop"], 3),
                 "gb": round(ra["gb"] - rb["gb"], 2)}
 
+    # Per-family MXU lane-padding caps (fraction of peak reachable given the
+    # checkpoint's channel counts; see PERF.md "Lane-padding roofline"):
+    # swin matmuls are 192-wide -> 192/256; level-0 convs 160ch -> 160/256
+    # x K-eff(1440->1536); level-1/2 convs 320ch -> 320/384; mid 640 -> ~1.0;
+    # skeleton is a mix of small convs/concats -> bandwidth-dominated anyway.
+    caps = {
+        "swin@64": 0.75, "swin@32": 0.75, "swin@16/8+mid": 0.75,
+        "resblocks@64": 0.58, "resblocks@32": 0.83, "resblocks@16/8": 0.90,
+        "skeleton(conv_in/up/down/emb/head/concat)": 0.70,
+    }
     groups = {
         "swin@64": delta("full", "no_swin64"),
         "swin@32": delta("no_swin64", "no_swin64_32"),
@@ -187,15 +197,22 @@ def main():
             ms=by_name["skeleton"]["ms"], tflop=by_name["skeleton"]["tflop"],
             gb=by_name["skeleton"]["gb"]),
     }
-    total = sum(g["ms"] for g in groups.values())
+    total = cap_total = 0.0
     print("\n===== additive census (sums to full by construction) =====")
     for k, g in groups.items():
         cf = g["tflop"] / (V5E_PEAK_BF16 / 1e12) * 1e3      # ms at peak
         bf = g["gb"] / (V5E_HBM_BPS / 1e9) * 1e3            # ms at peak BW
-        floor = max(cf, bf)
+        capped = max(cf / caps[k], bf)   # lane-padding-capped practical floor
+        g["floor_peak_ms"] = round(max(cf, bf), 2)
+        g["floor_capped_ms"] = round(capped, 2)
+        g["headroom_x"] = round(g["ms"] / capped, 2) if capped > 0 else None
+        total += g["ms"]
+        cap_total += capped
         print(f"{k:>42}: {g['ms']:7.2f} ms  ({g['tflop']:.2f} TF, {g['gb']:.1f} GB; "
-              f"floor {floor:.1f} ms)", flush=True)
-    print(f"{'SUM':>42}: {total:7.2f} ms  vs full {by_name['full']['ms']:.2f} ms")
+              f"peak floor {max(cf, bf):.1f} ms, capped floor {capped:.1f} ms, "
+              f"headroom {g['headroom_x']}x)", flush=True)
+    print(f"{'SUM':>42}: {total:7.2f} ms  vs full {by_name['full']['ms']:.2f} ms; "
+          f"capped-floor sum {cap_total:.1f} ms", flush=True)
     Path(args.out).write_text(json.dumps({"rows": rows, "groups": groups}, indent=2))
     print(f"-> {args.out}")
 

@@ -102,7 +102,7 @@ def bicubic_baseline(data: Path):
 
 
 def proof_config(data: Path, iters: int, use_lpips: bool = False,
-                 batch: int = 16):
+                 batch: int = 16, kappa: float = 1.0):
     cfg = dict(
         task="train_proof", sf=1,
         model=dict(
@@ -114,8 +114,12 @@ def proof_config(data: Path, iters: int, use_lpips: bool = False,
             swin_embed_dim=96, window_size=8, mlp_ratio=4, cond_lq=True,
             cond_mask=False, lq_size=64,
         ),
+        # kappa=1.0 (not the latent-task 2.0): this proof diffuses in PIXEL
+        # space where unit-scale noise already spans the [-1,1] image range;
+        # the latent recipe's kappa=2.0 is calibrated to the VQGAN latent
+        # scale (/root/reference/configs/realsr_swinunet_realesrgan256.yaml)
         diffusion=dict(schedule_name="exponential", steps=4, min_noise_level=0.2,
-                       etas_end=0.99, kappa=2.0, power=0.3, predict_type="xstart",
+                       etas_end=0.99, kappa=kappa, power=0.3, predict_type="xstart",
                        timestep_respacing=None, normalize_input=True,
                        latent_flag=False, scale_factor=1.0, sf=1),
         autoencoder=None,  # pixel space (IdentityFirstStage role)
@@ -161,6 +165,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/train_proof")
     ap.add_argument("--iters", type=int, default=1200)
+    ap.add_argument("--kappa", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-lpips", action="store_true")
     ap.add_argument("--skip-resume", action="store_true")
@@ -189,7 +194,8 @@ def main():
           f"SSIM(Y)={base_ssim:.4f}", flush=True)
 
     # ---- main run: uninterrupted ----
-    cfg = proof_config(data, args.iters)
+    cfg = proof_config(data, args.iters, kappa=args.kappa)
+    report["kappa"] = args.kappa
     t0 = time.time()
     tr = Trainer(cfg, save_dir=str(out / "run_a"), seed=args.seed,
                  dtype=jnp.bfloat16)
@@ -221,7 +227,7 @@ def main():
     # run_a's checkpoint at that step
     if not args.skip_resume:
         sf_iter = cfg["train"]["save_freq"]
-        cfg_b = proof_config(data, args.iters)
+        cfg_b = proof_config(data, args.iters, kappa=args.kappa)
         cfg_b["train"]["val_freq"] = 10 ** 9  # continuity runs skip val
         tr_b = Trainer(cfg_b, save_dir=str(out / "run_b"), seed=args.seed,
                        dtype=jnp.bfloat16)
@@ -247,7 +253,7 @@ def main():
     # ---- LPIPS trainer variant (wiring proof) ----
     if not args.skip_lpips:
         it_l = max(args.iters // 6, 100)
-        cfg_l = proof_config(data, it_l, use_lpips=True)
+        cfg_l = proof_config(data, it_l, use_lpips=True, kappa=args.kappa)
         cfg_l["train"]["val_freq"] = 10 ** 9
         tr_l = Trainer(cfg_l, save_dir=str(out / "run_lpips"), seed=args.seed,
                        dtype=jnp.bfloat16)
