@@ -293,6 +293,11 @@ class SwinTransformerBlock(nn.Module):
     qk_scale: float | None = None
     dtype: Dtype = jnp.float32
     use_pallas: bool | None = None
+    # profiling ablations (tools/profile_step_census.py): skip the attention
+    # or MLP half of the block (residual passes through, stats reused/cheap)
+    # so composed-program deltas attribute each half's cost
+    attn_identity: bool = False
+    mlp_identity: bool = False
 
     @nn.compact
     def __call__(self, xt: jnp.ndarray, h: int, w: int,
@@ -349,7 +354,9 @@ class SwinTransformerBlock(nn.Module):
         # token permutations preserve per-image statistics, so the affines
         # computed here are valid in either layout
         wa, ba = sbp.fold_stats(stats, s1, b1, t)
-        if shift_size > 0 and use_pallas and not os.environ.get("RSTPU_NO_SHIFT_FUSE"):
+        if (shift_size > 0 and use_pallas
+                and not (self.attn_identity or self.mlp_identity)
+                and not os.environ.get("RSTPU_NO_SHIFT_FUSE")):
             # shift absorbed into the kernels' reads: attn emits the shifted
             # layout, the MLP (pointwise over tokens, so the inverse
             # permutation commutes past it) restores the unshifted layout
@@ -361,7 +368,11 @@ class SwinTransformerBlock(nn.Module):
             return sbp.mlp_unshift_residual_stats(
                 y, wm, bm, w1.astype(dt), bb1.astype(dt),
                 w2.astype(dt), bb2.astype(dt), h, w, ws, shift_size)
-        if shift_size > 0:
+        if self.attn_identity:
+            # ablation: residual-only attention half; xt unchanged, so the
+            # incoming stats stay valid for the MLP's norm fold
+            y, (ys, yq) = xt, stats
+        elif shift_size > 0:
             if use_pallas and not os.environ.get("RSTPU_NO_SHIFT_KERNEL"):
                 # VMEM block-copy kernel (~10x the XLA row-gather)
                 from ..ops.shift_pallas import shift_tokens_pallas
@@ -378,20 +389,23 @@ class SwinTransformerBlock(nn.Module):
             xs = shift_fn(xt)
         else:
             xs = xt
-        if use_pallas:
-            y, ys, yq = sbp.norm_attn_residual_stats(
-                xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
-                wproj.astype(dt), bproj.astype(dt), bias_mask,
-                num_heads=nh, n_win=n)
-        else:
-            y = sbp.norm_attn_residual_xla(
-                xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
-                wproj.astype(dt), bproj.astype(dt), bias_mask,
-                num_heads=nh, n_win=n)
-            ys, yq = sbp.token_stats(y)
-        if shift_size > 0:
-            y = shift_fn(y, inverse=True)
+        if not self.attn_identity:
+            if use_pallas:
+                y, ys, yq = sbp.norm_attn_residual_stats(
+                    xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
+                    wproj.astype(dt), bproj.astype(dt), bias_mask,
+                    num_heads=nh, n_win=n)
+            else:
+                y = sbp.norm_attn_residual_xla(
+                    xs, wa, ba, wqkv.astype(dt), bqkv.astype(dt),
+                    wproj.astype(dt), bproj.astype(dt), bias_mask,
+                    num_heads=nh, n_win=n)
+                ys, yq = sbp.token_stats(y)
+            if shift_size > 0:
+                y = shift_fn(y, inverse=True)
 
+        if self.mlp_identity:
+            return y, ys, yq
         wm, bm = sbp.fold_stats((ys, yq), s2, b2, t)
         if use_pallas:
             return sbp.norm_mlp_residual_stats(
@@ -437,10 +451,13 @@ class BasicLayer(nn.Module):
     # part of the module (hence of any jit cache key that closes over it);
     # None = decide at trace time via `pallas_available()`
     use_pallas: bool | None = None
-    # profiling ablation (tools/profile_step_census.py): replace the whole
-    # layer by identity — creates no params, so a full param tree still
-    # applies (flax ignores unused subtrees)
+    # profiling ablations (tools/profile_step_census.py): `identity` replaces
+    # the whole layer (creates no params, so a full param tree still applies
+    # — flax ignores unused subtrees); attn/mlp_identity skip just that half
+    # of every block, attributing its composed cost
     identity: bool = False
+    attn_identity: bool = False
+    mlp_identity: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -471,6 +488,8 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                attn_identity=self.attn_identity,
+                mlp_identity=self.mlp_identity,
                 name=f"block{i}",
             )(xt, h, w, stats)
         x = window_reverse_tokens(xt, ws, h, w)

@@ -52,10 +52,16 @@ class Ablation:
     mid map to the config's per-level resolution).
     """
 
-    def __init__(self, swin_res=(), res_res=(), level_res=(64, 32, 16, 8)):
+    def __init__(self, swin_res=(), res_res=(), level_res=(64, 32, 16, 8),
+                 swin_mode="identity"):
         self.swin_res = swin_res
         self.res_res = res_res
         self.level_res = level_res
+        # "identity": whole BasicLayer skipped; "attn": only the attention
+        # half of each block skipped; "attn_mlp": both halves skipped but
+        # the embed/partition/stats glue kept — the variant deltas then
+        # split a swin family into attn / mlp / glue
+        self.swin_mode = swin_mode
 
     def _res_of(self, name: str) -> int:
         if name.startswith("mid"):
@@ -73,7 +79,13 @@ class Ablation:
         def basiclayer(*a, **kw):
             ds = kw.get("build_resolution")
             if abl.swin_res == "all" or ds in abl.swin_res:
-                kw["identity"] = True
+                if abl.swin_mode == "identity":
+                    kw["identity"] = True
+                elif abl.swin_mode == "attn":
+                    kw["attn_identity"] = True
+                else:  # "attn_mlp"
+                    kw["attn_identity"] = True
+                    kw["mlp_identity"] = True
             return abl._orig_basiclayer(*a, **kw)
 
         def resblock(*a, **kw):
@@ -96,12 +108,12 @@ class Ablation:
 # --------------------------------------------------------------- timing
 
 def time_variant(pipe, params, name, swin_res=(), res_res=(), n_iter=16,
-                 reps=3):
+                 reps=3, swin_mode="identity"):
     x = jax.random.normal(jax.random.PRNGKey(2), (B, 64, 64, 3), jnp.float32)
     lq = jax.random.normal(jax.random.PRNGKey(3), (B, 64, 64, 3), jnp.float32)
     t = jnp.full((B,), 7, jnp.int32)
 
-    with Ablation(swin_res, res_res):
+    with Ablation(swin_res, res_res, swin_mode=swin_mode):
 
         def fn(p, x, lq, t):
             def step(carry, _):
@@ -157,16 +169,18 @@ def main():
     params = pipe._compute_params(params)
 
     variants = [
-        ("full", (), ()),
-        ("no_swin64", (64,), ()),
-        ("no_swin64_32", (64, 32), ()),
-        ("no_swin", "all", ()),
-        ("no_swin_res64", "all", (64,)),
-        ("no_swin_res64_32", "all", (64, 32)),
-        ("skeleton", "all", "all"),
+        ("full", (), (), "identity"),
+        ("swin64_noattn", (64,), (), "attn"),
+        ("swin64_glue_only", (64,), (), "attn_mlp"),
+        ("no_swin64", (64,), (), "identity"),
+        ("no_swin64_32", (64, 32), (), "identity"),
+        ("no_swin", "all", (), "identity"),
+        ("no_swin_res64", "all", (64,), "identity"),
+        ("no_swin_res64_32", "all", (64, 32), "identity"),
+        ("skeleton", "all", "all", "identity"),
     ]
-    rows = [time_variant(pipe, params, n, s, r, args.n_iter, args.reps)
-            for (n, s, r) in variants]
+    rows = [time_variant(pipe, params, n, s, r, args.n_iter, args.reps, m)
+            for (n, s, r, m) in variants]
 
     by_name = {r["name"]: r for r in rows}
 
@@ -182,12 +196,16 @@ def main():
     # x K-eff(1440->1536); level-1/2 convs 320ch -> 320/384; mid 640 -> ~1.0;
     # skeleton is a mix of small convs/concats -> bandwidth-dominated anyway.
     caps = {
-        "swin@64": 0.75, "swin@32": 0.75, "swin@16/8+mid": 0.75,
+        "swin@64 attn kernels": 0.75, "swin@64 mlp kernels": 0.75,
+        "swin@64 glue(embed/part/stats)": 0.70,
+        "swin@32": 0.75, "swin@16/8+mid": 0.75,
         "resblocks@64": 0.58, "resblocks@32": 0.83, "resblocks@16/8": 0.90,
         "skeleton(conv_in/up/down/emb/head/concat)": 0.70,
     }
     groups = {
-        "swin@64": delta("full", "no_swin64"),
+        "swin@64 attn kernels": delta("full", "swin64_noattn"),
+        "swin@64 mlp kernels": delta("swin64_noattn", "swin64_glue_only"),
+        "swin@64 glue(embed/part/stats)": delta("swin64_glue_only", "no_swin64"),
         "swin@32": delta("no_swin64", "no_swin64_32"),
         "swin@16/8+mid": delta("no_swin64_32", "no_swin"),
         "resblocks@64": delta("no_swin", "no_swin_res64"),
