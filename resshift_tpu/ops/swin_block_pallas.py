@@ -222,7 +222,9 @@ def _attn_body(x, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
     xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
+    # bias add at the activation dtype, mirroring the XLA composition
+    # (norm_attn_residual_xla) op-for-op; bf16 runs packed 2-per-lane
+    qkv = qkv.astype(x.dtype) + bqkv_ref[:].astype(x.dtype)
     q = qkv[:, :c].reshape(ng, ns, c)
     k = qkv[:, c:2 * c].reshape(ng, ns, c)
     v = qkv[:, 2 * c:].reshape(ng, ns, c)
@@ -258,8 +260,8 @@ def _attn_body(x, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         outs.append(oa[:, :, :hd] * (1.0 / oa[:, :, hd:]))
     out = jnp.concatenate(outs, axis=-1).astype(x.dtype).reshape(tb, c)
     proj = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
-    proj = proj + bproj_ref[:].astype(jnp.float32)
-    return (x.astype(jnp.float32) + proj).astype(out_dtype)
+    proj = proj.astype(x.dtype) + bproj_ref[:].astype(x.dtype)
+    return (x + proj).astype(out_dtype)
 
 
 def _attn_kernel(x_ref, w_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -545,13 +547,19 @@ shift_attn_residual_stats.defvjp(_sars_fwd, _sars_bwd)
 
 # ------------------------------------------------------------- MLP kernel
 
-def _erf_f32(x):
+def _erf(x):
     """float32 erf for in-kernel use (Mosaic has no erf lowering).
 
     Abramowitz & Stegun 7.1.26 rational approximation, |error| <= 1.5e-7 —
     below f32 GELU noise and far below bf16 output rounding, so the fused
     kernel matches the XLA exact-GELU path bit-for-bit after the bf16 cast
     in practice (verified vs jax.lax.erf in tests at rtol 2e-4).
+
+    Measured dead end (do not redo): computing this chain in packed bf16
+    (2-per-lane VPU) REGRESSES the MLP call ~0.3 ms — Mosaic's packed
+    vectors reject cmpf (the `sign`), and the f32 sign round-trip plus
+    transcendental unpacking cost more than the packing saves
+    (BasicLayer@64^2: 11.62 vs 10.30 ms).
     """
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
@@ -565,12 +573,18 @@ def _erf_f32(x):
 def _mlp_body(x, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_dtype):
     xn = (x.astype(jnp.float32) * w_ref[0] + b_ref[0]).astype(x.dtype)
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
-    h = h + b1_ref[:].astype(jnp.float32)
-    # exact GELU (erf), matching torch nn.GELU default
-    h = (0.5 * h * (1.0 + _erf_f32(h * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
+    # bias add at the ACTIVATION dtype, mirroring the XLA composition
+    # (norm_mlp_residual_xla) op-for-op: there `xn @ w1 + b1` rounds the
+    # matmul to x.dtype before the bias add, and GELU sees the rounded
+    # value.  The GELU *arithmetic* stays f32 (same as XLA's erf lowering
+    # on a bf16 operand — upcast, compute, round back); packed-bf16
+    # arithmetic here was measured slower, see _erf.
+    h = h.astype(x.dtype) + b1_ref[:].astype(x.dtype)
+    hf = h.astype(jnp.float32)
+    h = (0.5 * hf * (1.0 + _erf(hf * float(1.0 / np.sqrt(2.0))))).astype(x.dtype)
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    out = out + b2_ref[:].astype(jnp.float32)
-    return (x.astype(jnp.float32) + out).astype(out_dtype)
+    out = out.astype(x.dtype) + b2_ref[:].astype(x.dtype)
+    return (x + out).astype(out_dtype)
 
 
 def _mlp_kernel(x_ref, w_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,

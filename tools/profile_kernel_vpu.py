@@ -99,16 +99,16 @@ def main():
     r = {}
     r["mlp/baseline"] = timeit("mlp/baseline", sbp.norm_mlp_residual_stats,
                                x, w, b, w1, b1, w2, b2)
-    orig_erf = sbp._erf_f32
+    orig_erf = sbp._erf
     try:
-        sbp._erf_f32 = cheb14_erf
+        sbp._erf = cheb14_erf
         r["mlp/cheb14"] = timeit("mlp/cheb14", sbp.norm_mlp_residual_stats,
                                  x, w, b, w1, b1, w2, b2)
-        sbp._erf_f32 = lambda v: v * 0.0
+        sbp._erf = lambda v: v * 0.0
         r["mlp/no-gelu"] = timeit("mlp/no-gelu", sbp.norm_mlp_residual_stats,
                                   x, w, b, w1, b1, w2, b2)
     finally:
-        sbp._erf_f32 = orig_erf
+        sbp._erf = orig_erf
 
     # numeric check of cheb14 vs exact on the fly (f32, CPU)
     with jax.default_device(jax.devices("cpu")[0]):
