@@ -237,6 +237,7 @@ go.onclick=async()=>{go.disabled=true;st.textContent='running\\u2026';
 class _Handler(BaseHTTPRequestHandler):
     predictor: Predictor = None  # set by serve()
     task: str = "?"
+    max_body: int = 64 * 1024 * 1024  # reject larger uploads (413), OOM guard
 
     def do_GET(self):
         if self.path == "/health":
@@ -264,6 +265,14 @@ class _Handler(BaseHTTPRequestHandler):
             import cv2
 
             n = int(self.headers.get("Content-Length", 0))
+            if n <= 0 or n > self.max_body:
+                msg = json.dumps({"error": f"body must be 1..{self.max_body} bytes"}).encode()
+                self.send_response(413 if n > self.max_body else 400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
             raw = self.rfile.read(n)
             img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
             if img is None:
@@ -295,10 +304,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | None = None,
           host: str = "0.0.0.0", port: int = 8080, chop_bs: int = 1,
-          max_batch: int = 8, warmup: str | None = None):
+          max_batch: int = 8, warmup: str | None = None,
+          max_body_mb: int = 64):
     _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt, chop_bs=chop_bs,
                                    max_batch=max_batch)
     _Handler.task = task
+    _Handler.max_body = int(max_body_mb) * 1024 * 1024
     if warmup:
         h, w = (int(v) for v in warmup.lower().split("x"))
         print(f"[serve] warming up jit for {h}x{w} (bs 1 and {max_batch})...",
@@ -324,9 +335,11 @@ def main(argv=None):
                    help="concurrent same-shape requests batched per forward")
     p.add_argument("--warmup", default=None, metavar="HxW",
                    help="pre-compile the sampler for this input size, e.g. 64x64")
+    p.add_argument("--max-body-mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
     a = p.parse_args(argv)
     serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port, a.chop_bs,
-          a.max_batch, a.warmup)
+          a.max_batch, a.warmup, a.max_body_mb)
 
 
 if __name__ == "__main__":

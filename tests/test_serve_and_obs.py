@@ -153,5 +153,25 @@ def test_http_serving_roundtrip(monkeypatch):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
             page = r.read().decode()
         assert "ResShift-TPU" in page and "/restore" in page
+        # oversized body -> 413 without reading it (OOM guard); the body is
+        # never sent because the server answers from the header alone
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/restore", data=b"x", method="POST",
+            headers={"Content-Length": str(srv._Handler.max_body + 1)})
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+        except urllib.error.URLError:
+            pass  # some stacks abort the send after the early 413 reply
+        # empty body -> 400
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/restore",
+                                     data=b"", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
