@@ -187,10 +187,12 @@ def cmd_infer(args):
                        lpips_path=getattr(args, "lpips_path", None))
 
 
-def report_metrics(files, sr_dir: Path, gt_dir: Path, lpips_path=None):
+def report_metrics(files, sr_dir: Path, gt_dir: Path, lpips_path=None,
+                   extra: dict | None = None):
     """PSNR(Y)/SSIM(Y) [+ LPIPS when weights are given] over saved outputs —
     the reference's eval metrics (utils/util_image.py:17-116,
-    trainer.py:914-923)."""
+    trainer.py:914-923).  Also writes `sr_dir/metrics.json` so protocol
+    runs leave a machine-readable artifact (`extra` is merged in)."""
     from .ops.metrics import batch_psnr, batch_ssim
     from .utils.image_io import imread, list_images
 
@@ -234,6 +236,13 @@ def report_metrics(files, sr_dir: Path, gt_dir: Path, lpips_path=None):
         if lpips_fn is not None:
             msg += f"  LPIPS: {lpips_sum / n:.4f}"
         print(msg + f"  ({n} images)")
+        import json
+
+        record = {"n": n, "psnr_y": float(psnr / n), "ssim_y": float(ssim / n)}
+        if lpips_fn is not None:
+            record["lpips"] = float(lpips_sum / n)
+        record.update(extra or {})
+        (sr_dir / "metrics.json").write_text(json.dumps(record, indent=2))
         return psnr / n, ssim / n, (lpips_sum / n if lpips_fn else None)
     return None
 
@@ -337,7 +346,9 @@ def _run_eval_inference(pipe, params, args):
     print(f"Protocol {args.protocol}: {len(files)} images in {dt:.1f}s")
     if args.gt_path:
         report_metrics(files, out_path, Path(args.gt_path),
-                       lpips_path=getattr(args, "lpips_path", None))
+                       lpips_path=getattr(args, "lpips_path", None),
+                       extra={"protocol": args.protocol,
+                              "seconds": round(dt, 1)})
 
 
 def cmd_train(args):

@@ -1,5 +1,6 @@
 """CLI surface: parser wiring, eval protocol table, metric reporting."""
 
+import json
 import numpy as np
 import pytest
 
@@ -42,8 +43,13 @@ def test_report_metrics(tmp_path):
         cv2.imwrite(str(gt_dir / f"im{i}.png"), gt)
         cv2.imwrite(str(sr_dir / f"im{i}.png"), noisy)
         files.append(sr_dir / f"im{i}.png")
-    psnr, ssim, lp = report_metrics(files, sr_dir, gt_dir)
+    psnr, ssim, lp = report_metrics(files, sr_dir, gt_dir,
+                                    extra={"protocol": "unit"})
     assert 20 < psnr < 45 and 0 < ssim <= 1 and lp is None
+    # machine-readable artifact lands next to the outputs
+    rec = json.loads((sr_dir / "metrics.json").read_text())
+    assert rec["n"] == 3 and rec["protocol"] == "unit"
+    assert abs(rec["psnr_y"] - psnr) < 1e-6
     # missing GT entries are skipped, not fatal
     (gt_dir / "im2.png").unlink()
     out = report_metrics(files, sr_dir, gt_dir)
