@@ -79,7 +79,7 @@ class BaseData:
     def __init__(self, dir_path=None, txt_path=None, mean=0.5, std=0.5,
                  extra_dir_path=None, length=None, need_path=False,
                  im_exts=None, recursive=False, seed=0, pack_path=None,
-                 extra_pack_path=None, **_):
+                 extra_pack_path=None, io_backend=None, **_):
         if pack_path:
             # packed-dataset backend (native mmap reader; the reference's
             # FileClient lmdb role — data/file_client.py)
@@ -95,6 +95,12 @@ class BaseData:
                                  if extra_pack_path else None)
         else:
             self.client = self.extra_client = None
+            if (io_backend or {}).get("type") == "memcached":
+                from .file_client import FileClient
+
+                self.client = FileClient(
+                    "memcached",
+                    server=io_backend.get("server", "127.0.0.1:11211"))
             self.paths = _collect_paths(dir_path=dir_path, txt_path=txt_path,
                                         recursive=recursive, length=length,
                                         rng=np.random.default_rng(seed))
@@ -132,7 +138,7 @@ class RealESRGANData:
                  betag_range2=(0.5, 4.0), betap_range2=(1, 2.0),
                  final_sinc_prob=0.8, gt_size=256, crop_pad_size=300,
                  use_hflip=True, use_rot=False, rescale_gt=True, length=None,
-                 mode="training", seed=0, pack_path=None, **_):
+                 mode="training", seed=0, pack_path=None, io_backend=None, **_):
         self.rng = np.random.default_rng(seed)
         if pack_path:
             from .file_client import FileClient
@@ -144,6 +150,12 @@ class RealESRGANData:
                               self.rng.permutation(len(self.paths))[:length]]
         else:
             self.client = None
+            if (io_backend or {}).get("type") == "memcached":
+                from .file_client import FileClient
+
+                self.client = FileClient(
+                    "memcached",
+                    server=io_backend.get("server", "127.0.0.1:11211"))
             self.paths = _collect_paths(dir_paths=dir_paths, txt_file_path=txt_file_path,
                                         length=length, rng=self.rng)
         d = ["iso", "aniso", "generalized_iso", "generalized_aniso",
@@ -532,7 +544,11 @@ def create_dataset(config: dict):
     params.setdefault("mean", tk.get("mean", 0.5))
     params.setdefault("std", tk.get("std", 0.5))
     params.pop("transform_type", None)
-    params.pop("io_backend", None)
+    # io_backend passthrough (realesrgan_dataset.py:57,104): memcached maps to
+    # the cache-fronted FileClient; 'disk' (the shipped default) is implicit.
+    io = params.pop("io_backend", None) or {}
+    if isinstance(io, dict) and io.get("type") == "memcached":
+        params["io_backend"] = dict(io)
     return _FACTORY[kind](**params)
 
 

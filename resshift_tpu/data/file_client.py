@@ -2,13 +2,17 @@
 
 The reference's FileClient dispatches disk / lmdb / memcached backends
 (basicsr/utils/file_client.py:5-167).  Here:
-  * 'disk'  — plain filesystem reads;
-  * 'pack'  — the native PackFile runtime (mmap'd flat file + sorted key
-    index, C++ reader with zero-copy page-cache views — the lmdb role
-    without the lmdb dependency; see native/packfile.cpp).
-memcached is intentionally unsupported (no daemon in TPU pods; the pack
-backend plus the kernel page cache covers the same read-amplification
-problem).
+  * 'disk'      — plain filesystem reads;
+  * 'pack'      — the native PackFile runtime (mmap'd flat file + sorted
+    key index, C++ reader with zero-copy page-cache views — the lmdb role
+    without the lmdb dependency; see native/packfile.cpp);
+  * 'memcached' — a shared byte cache in front of disk reads via a stock
+    memcached daemon (the reference's MemcachedBackend role,
+    basicsr/utils/file_client.py:29-55, minus its proprietary ``mc``
+    dependency — see data/memcached.py).  Reads are cache-first with disk
+    read-through: a miss falls back to the filesystem and populates the
+    cache, so the backend works from a cold daemon (the reference requires
+    an externally pre-warmed cluster and hard-fails otherwise).
 """
 
 from __future__ import annotations
@@ -24,12 +28,18 @@ __all__ = ["FileClient"]
 
 
 class FileClient:
-    def __init__(self, backend: str = "disk", pack_path: str | Path | None = None):
-        if backend not in ("disk", "pack"):
+    def __init__(self, backend: str = "disk", pack_path: str | Path | None = None,
+                 server: str = "127.0.0.1:11211"):
+        if backend not in ("disk", "pack", "memcached"):
             raise ValueError(f"unknown FileClient backend: {backend!r} "
-                             "(supported: disk, pack)")
+                             "(supported: disk, pack, memcached)")
         self.backend = backend
         self.pack = PackReader(pack_path) if backend == "pack" else None
+        self.cache = None
+        if backend == "memcached":
+            from .memcached import MemcachedClient
+
+            self.cache = MemcachedClient(server)
 
     def keys(self) -> list[str]:
         if self.pack is None:
@@ -39,6 +49,13 @@ class FileClient:
     def get(self, key: str | Path) -> bytes:
         if self.pack is not None:
             return self.pack.get(str(key))
+        if self.cache is not None:
+            hit = self.cache.get(str(key))
+            if hit is not None:
+                return hit
+            data = Path(key).read_bytes()
+            self.cache.set(str(key), data)  # best-effort; over-limit ignored
+            return data
         return Path(key).read_bytes()
 
     def imread(self, key: str | Path, chn: str = "rgb",
