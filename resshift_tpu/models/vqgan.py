@@ -39,10 +39,18 @@ class ResnetBlock(nn.Module):
     out_channels: int | None = None
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    # census ablation (tools/profile_decoder_census.py): collapse the block
+    # to its skip path (shape-preserving); never set in production configs.
+    skip_only: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         out_ch = self.out_channels or self.in_channels
+        if self.skip_only:
+            if self.in_channels != out_ch:
+                return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                               name="nin_shortcut")(x)
+            return x
         h = _norm("norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
@@ -81,9 +89,12 @@ class AttnBlock(nn.Module):
     in_channels: int
     dtype: Dtype = jnp.float32
     chunk_threshold: int = 16384  # switch to chunked softmax above this token count
+    identity: bool = False        # census ablation: skip the whole block
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.identity:
+            return x
         b, h, w, c = x.shape
         hn = _norm("norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, c)
@@ -129,10 +140,11 @@ class Upsample(nn.Module):
     in_channels: int
     with_conv: bool = True
     dtype: Dtype = jnp.float32
+    cheap: bool = False  # census ablation: conv-free nearest repeat
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if not self.with_conv:
+        if not self.with_conv or self.cheap:
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         from ..ops.upsample import upsample_nearest_conv3x3
         from .layers import _Conv3x3Params

@@ -186,3 +186,36 @@ def test_autoencoder_kl_and_identity():
     ident = IdentityFirstStage()
     y = jnp.ones((1, 4, 4, 3))
     np.testing.assert_array_equal(np.asarray(ident.apply({}, y)), np.asarray(y))
+
+
+def test_vqgan_census_ablation_fields():
+    """The profiling-only ablation fields (tools/profile_decoder_census.py)
+    must be shape-preserving and default off."""
+    import jax
+    import jax.numpy as jnp
+
+    from resshift_tpu.models.vqgan import AttnBlock, ResnetBlock, Upsample
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16), jnp.float32)
+    # defaults: real compute (output differs from input)
+    blk = ResnetBlock(in_channels=16)
+    p = blk.init(jax.random.PRNGKey(0), x)
+    assert not jnp.allclose(blk.apply(p, x), x)
+    # skip_only same-channel: exact identity, no params needed
+    skip = ResnetBlock(in_channels=16, skip_only=True)
+    ps = skip.init(jax.random.PRNGKey(0), x)
+    assert jnp.array_equal(skip.apply(ps, x), x)
+    # skip_only channel-change: 1x1 shortcut, shape preserved
+    skip2 = ResnetBlock(in_channels=16, out_channels=32, skip_only=True)
+    p2 = skip2.init(jax.random.PRNGKey(0), x)
+    assert skip2.apply(p2, x).shape == (1, 8, 8, 32)
+    # attn identity
+    attn = AttnBlock(in_channels=16, identity=True)
+    pa = attn.init(jax.random.PRNGKey(0), x)
+    assert jnp.array_equal(attn.apply(pa, x), x)
+    # cheap upsample = nearest repeat
+    up = Upsample(in_channels=16, cheap=True)
+    pu = up.init(jax.random.PRNGKey(0), x)
+    out = up.apply(pu, x)
+    assert out.shape == (1, 16, 16, 16)
+    assert jnp.array_equal(out, jnp.repeat(jnp.repeat(x, 2, 1), 2, 2))
