@@ -378,6 +378,26 @@ def cmd_convert(args):
     print(f"Converted -> {args.out_path}")
 
 
+def cmd_export(args):
+    """Serialize the jitted sampler to a portable StableHLO artifact
+    (export.py) at a fixed operating point — the deployment story the
+    reference lacks (predict.py re-builds its sampler per request)."""
+    import json as _json
+
+    from .export import export_sampler, save_artifact
+
+    pipe = _build_pipeline(args)
+    params = _load_params(pipe, args)
+    h, w = (int(v) for v in args.hw.lower().split("x"))
+    platforms = args.platforms.split(",") if args.platforms else None
+    blob, manifest = export_sampler(pipe, params, (h, w), batch=args.batch,
+                                    with_mask=args.with_mask,
+                                    platforms=platforms)
+    save_artifact(args.out_path, blob, manifest)
+    print(_json.dumps(manifest))
+    print(f"exported -> {args.out_path} ({len(blob) / 1e6:.1f} MB)")
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="resshift_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -436,6 +456,19 @@ def make_parser() -> argparse.ArgumentParser:
     pt.add_argument("--save-dir", default="./save_dir")
     pt.add_argument("--resume", default=None)
     pt.set_defaults(fn=cmd_train)
+
+    px = sub.add_parser("export", help="serialize the sampler to a portable "
+                        "StableHLO artifact (AOT deployment)")
+    common(px)
+    px.add_argument("--out-path", required=True)
+    px.add_argument("--hw", default="64x64", metavar="HxW",
+                    help="LQ input size the artifact is specialized for")
+    px.add_argument("--batch", type=int, default=1)
+    px.add_argument("--with-mask", action="store_true",
+                    help="export the inpainting signature (lq + mask)")
+    px.add_argument("--platforms", default=None,
+                    help="comma list (e.g. tpu,cpu); default: current backend")
+    px.set_defaults(fn=cmd_export, chop_size=None, chop_stride=None)
     return p
 
 

@@ -211,3 +211,71 @@ def test_compile_cache_helper(tmp_path, monkeypatch):
         jax.jit(lambda a: (a @ a).sum())(x).block_until_ready()
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_export_artifact_roundtrip(tmp_path):
+    """export.py: serialize the tile sampler, reload, bit-identical output."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_pipeline import tiny_config
+
+    from resshift_tpu.export import (export_sampler, load_artifact,
+                                     save_artifact)
+    from resshift_tpu.pipeline import ResShiftPipeline
+
+    pipe = ResShiftPipeline(tiny_config(), dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    blob, manifest = export_sampler(pipe, params, (16, 16), batch=2)
+    assert manifest["sf"] == 4 and manifest["output_hw"] == [64, 64]
+    path = tmp_path / "tiny.rsx"
+    save_artifact(path, blob, manifest)
+
+    call, m2 = load_artifact(path)
+    assert m2 == manifest
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                            jnp.float32, -1, 1)
+    out = call(params, lq, jnp.int32(7))
+    assert out.shape == (2, 64, 64, 3)
+    # the exported program IS the jitted sampler: bit-identical to jitting
+    # the same wrapper locally.  (An EAGER _sample_tile run is NOT the
+    # comparison point: eager-vs-jit f32 fusion differences flip VQ-argmin
+    # codes on the random test codebook — the fidelity_probe.py phenomenon.)
+    jfn = jax.jit(lambda p, x, s: pipe._sample_tile(p, x, jax.random.PRNGKey(s)))
+    want = jfn(params, lq, jnp.int32(7))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    # different seed -> different stochastic restoration
+    out2 = call(params, lq, jnp.int32(8))
+    assert not np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_export_artifact_bad_magic(tmp_path):
+    from resshift_tpu.export import load_artifact
+
+    p = tmp_path / "junk.rsx"
+    p.write_bytes(b"NOTMAGIC" + b"\0" * 32)
+    with pytest.raises(ValueError):
+        load_artifact(p)
+
+
+def test_cli_export_command(tmp_path):
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_pipeline import tiny_config
+
+    from resshift_tpu.cli import main
+    from resshift_tpu.export import load_artifact
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(tiny_config()))
+    out = tmp_path / "m.rsx"
+    main(["export", "--config", str(cfg_path), "--fp32",
+          "--out-path", str(out), "--hw", "16x16", "--batch", "1"])
+    call, manifest = load_artifact(out)
+    assert manifest["batch"] == 1 and manifest["input_hw"] == [16, 16]
