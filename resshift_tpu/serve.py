@@ -89,6 +89,9 @@ class Predictor:
         self._requests: _queue.Queue = _queue.Queue()
         self._pending: deque = deque()     # worker-local overflow (mixed shapes)
         self.batch_sizes: list[int] = []   # observability: images per forward
+        self._lat = deque(maxlen=512)      # device seconds per forward
+        self._n_done = 0
+        self._n_err = 0
         self._worker = threading.Thread(target=self._worker_loop,
                                         name="predictor-device-worker", daemon=True)
         self._worker.start()
@@ -183,16 +186,46 @@ class Predictor:
                 mask = (np.concatenate([r.mask for r in batch], axis=0)
                         if batch[0].mask is not None else None)
                 key = jax.random.fold_in(self._key, next(self._count))
+                t0 = time.perf_counter()
                 out = self.pipe.sample(self.params, lq, key, mask=mask,
                                        tile_bs=self.chop_bs)
                 sr = from_model(np.asarray(out))
+                self._lat.append(time.perf_counter() - t0)
+                self._n_done += len(batch)
                 for i, r in enumerate(batch):
                     r.result = sr[i]
                     r.done.set()
             except Exception as e:  # noqa: BLE001 — deliver, don't kill worker
+                self._n_err += len(batch)
                 for r in batch:
                     r.error = e
                     r.done.set()
+
+    # ------------------------------------------------------- observability
+
+    def metrics(self) -> dict:
+        """Serving counters for the /metrics endpoint (and programmatic use):
+        queue depth, completed/error counts, batch-size histogram, and
+        device-forward latency quantiles over the last 512 forwards."""
+        lat = sorted(self._lat)
+
+        def q(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 4) if lat else None
+
+        sizes = self.batch_sizes[-512:]
+        hist: dict[str, int] = {}
+        for s in sizes:
+            hist[str(s)] = hist.get(str(s), 0) + 1
+        return {
+            "queue_depth": self._requests.qsize() + len(self._pending),
+            "requests_done": self._n_done,
+            "requests_error": self._n_err,
+            "forwards": len(self.batch_sizes),
+            "batch_size_hist": hist,
+            "forward_seconds": {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)},
+            "max_batch": self.max_batch,
+            "chop_bs": self.chop_bs,
+        }
 
 
 _DEMO_PAGE = """<!doctype html>
@@ -242,6 +275,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             body = json.dumps({"status": "ok"}).encode()
+            ctype = "application/json"
+        elif self.path == "/metrics":
+            body = json.dumps(self.predictor.metrics()).encode()
             ctype = "application/json"
         elif self.path in ("/", "/index.html"):
             # browser demo page — the reference's Gradio app (app.py) without

