@@ -34,11 +34,27 @@ def _norm(name: str):
     return GroupNorm32(eps=1e-6, name=name)
 
 
+def _conv(quant, features, kernel_size=(3, 3), *, strides=(1, 1), padding=1,
+          dtype=jnp.float32, name):
+    """nn.Conv, or its int8-quantized drop-in when quant == 'int8'
+    (ops/quant.py — identical param names/shapes, so checkpoints load
+    unchanged).  EXPERIMENTAL: isolated conv chains gain 1.6-1.7x on v5e
+    but the composed VQGAN phases measured net-negative (PERF.md)."""
+    if quant == "int8":
+        from ..ops.quant import QConv
+
+        return QConv(features, kernel_size, strides=strides, padding=padding,
+                     dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   dtype=dtype, name=name)
+
+
 class ResnetBlock(nn.Module):
     in_channels: int
     out_channels: int | None = None
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: str | None = None  # 'int8' = serving-only quantized convs
     # census ablation (tools/profile_decoder_census.py): collapse the block
     # to its skip path (shape-preserving); never set in production configs.
     skip_only: bool = False
@@ -53,14 +69,15 @@ class ResnetBlock(nn.Module):
             return x
         h = _norm("norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _conv(self.quant, out_ch, dtype=self.dtype, name="conv1")(h)
         h = _norm("norm2")(h)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _conv(self.quant, out_ch, dtype=self.dtype, name="conv2")(h)
         if self.in_channels != out_ch:
-            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            x = _conv(self.quant, out_ch, (1, 1), padding=0, dtype=self.dtype,
+                      name="nin_shortcut")(x)
         return x + h
 
 
@@ -123,13 +140,15 @@ class Downsample(nn.Module):
     in_channels: int
     with_conv: bool = True
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.with_conv:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            return nn.Conv(self.in_channels, (3, 3), strides=2, padding="VALID",
-                           dtype=self.dtype, name="conv")(x)
+            return _conv(self.quant, self.in_channels, strides=(2, 2),
+                         padding=((0, 0), (0, 0)), dtype=self.dtype,
+                         name="conv")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -165,6 +184,7 @@ class Encoder(nn.Module):
     dropout: float = 0.0
     resamp_with_conv: bool = True
     dtype: Dtype = jnp.float32
+    quant: str | None = None  # 'int8' serving mode: quantize all interior convs
 
     def _nrb(self) -> list[int]:
         n = self.num_res_blocks
@@ -173,7 +193,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         nrb = self._nrb()
-        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = _conv(self.quant, self.ch, dtype=self.dtype, name="conv_in")(x)
         curr_res = self.resolution
         in_ch_mult = (1,) + tuple(self.ch_mult)
         for i_level in range(len(self.ch_mult)):
@@ -182,6 +202,7 @@ class Encoder(nn.Module):
             for i_block in range(nrb[i_level]):
                 h = ResnetBlock(in_channels=block_in, out_channels=block_out,
                                 dropout=self.dropout, dtype=self.dtype,
+                                quant=self.quant,
                                 name=f"down{i_level}_block{i_block}")(h)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
@@ -189,14 +210,15 @@ class Encoder(nn.Module):
                                   name=f"down{i_level}_attn{i_block}")(h)
             if i_level != len(self.ch_mult) - 1:
                 h = Downsample(block_in, self.resamp_with_conv, dtype=self.dtype,
+                               quant=self.quant,
                                name=f"down{i_level}_downsample")(h)
                 curr_res //= 2
 
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
-                        dtype=self.dtype, name="mid_block1")(h)
+                        dtype=self.dtype, quant=self.quant, name="mid_block1")(h)
         h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn1")(h)
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
-                        dtype=self.dtype, name="mid_block2")(h)
+                        dtype=self.dtype, quant=self.quant, name="mid_block2")(h)
 
         h = _norm("norm_out")(h)
         h = nn.silu(h)
@@ -216,6 +238,7 @@ class Decoder(nn.Module):
     resamp_with_conv: bool = True
     tanh_out: bool = False
     dtype: Dtype = jnp.float32
+    quant: str | None = None  # 'int8' serving mode (conv_out stays exact)
 
     def _nrb(self) -> list[int]:
         n = self.num_res_blocks
@@ -228,18 +251,19 @@ class Decoder(nn.Module):
         block_in = self.ch * self.ch_mult[num_res - 1]
         curr_res = self.resolution // 2 ** (num_res - 1)
 
-        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = _conv(self.quant, block_in, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
-                        dtype=self.dtype, name="mid_block1")(h)
+                        dtype=self.dtype, quant=self.quant, name="mid_block1")(h)
         h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn1")(h)
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
-                        dtype=self.dtype, name="mid_block2")(h)
+                        dtype=self.dtype, quant=self.quant, name="mid_block2")(h)
 
         for i_level in reversed(range(num_res)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(nrb[i_level] + 1):
                 h = ResnetBlock(in_channels=block_in, out_channels=block_out,
                                 dropout=self.dropout, dtype=self.dtype,
+                                quant=self.quant,
                                 name=f"up{i_level}_block{i_block}")(h)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
@@ -289,6 +313,7 @@ class AutoencoderKL(nn.Module):
     ddconfig: dict
     embed_dim: int = 4
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     def setup(self):
         dd = dict(self.ddconfig)
@@ -297,8 +322,9 @@ class AutoencoderKL(nn.Module):
         out_ch = dd.pop("out_ch", 3)
         in_channels = dd.pop("in_channels", 3)
         self.encoder = Encoder(in_channels=in_channels, double_z=True,
-                               dtype=self.dtype, **dd)
-        self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype, **dd)
+                               dtype=self.dtype, quant=self.quant, **dd)
+        self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype,
+                               quant=self.quant, **dd)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype,
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(self.ddconfig["z_channels"], (1, 1),
@@ -344,6 +370,7 @@ class VQModel(nn.Module):
     n_embed: int = 8192
     embed_dim: int = 3
     dtype: Dtype = jnp.float32
+    quant: str | None = None  # 'int8' serving mode for both conv backbones
 
     def setup(self):
         dd = dict(self.ddconfig)
@@ -352,8 +379,9 @@ class VQModel(nn.Module):
         out_ch = dd.pop("out_ch", 3)
         in_channels = dd.pop("in_channels", 3)
         self.encoder = Encoder(in_channels=in_channels, double_z=False,
-                               dtype=self.dtype, **dd)
-        self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype, **dd)
+                               dtype=self.dtype, quant=self.quant, **dd)
+        self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype,
+                               quant=self.quant, **dd)
         self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
         self.quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="quant_conv")
         self.post_quant_conv = nn.Conv(self.ddconfig["z_channels"], (1, 1),

@@ -39,7 +39,8 @@ from .ops.tiling import TileGrid
 class ResShiftPipeline:
     """Holds model definitions + schedule; `sample` is the jitted entry."""
 
-    def __init__(self, config: dict | str, dtype=jnp.bfloat16, use_autoencoder: bool = True):
+    def __init__(self, config: dict | str, dtype=jnp.bfloat16, use_autoencoder: bool = True,
+                 quant_vqgan: str | None = None):
         if isinstance(config, str):
             config = task_config(config)
         self.config = config
@@ -65,8 +66,13 @@ class ResShiftPipeline:
         self.cond_mask = m.get("cond_mask", False)
         ae = config.get("autoencoder")
         if ae is not None and use_autoencoder:
+            # quant_vqgan='int8': EXPERIMENTAL quantized conv backbones
+            # (ops/quant.py; measured net-negative at the composed level —
+            # PERF.md) — only the one-shot encode/decode halves are ever
+            # quantized; the iterated denoiser always stays bf16/f32.
             self.vq = VQModel(ddconfig=ae["ddconfig"], n_embed=ae["n_embed"],
-                              embed_dim=ae["embed_dim"], dtype=dtype)
+                              embed_dim=ae["embed_dim"], dtype=dtype,
+                              quant=quant_vqgan)
         else:
             self.vq = None
         inf = config.get("inference", {})
