@@ -45,7 +45,8 @@ def _build_pipeline(args):
         cs, st = default_chop(args.chop_size, cfg["sf"])
         cfg["inference"]["chop_size"] = cs
         cfg["inference"]["chop_stride"] = args.chop_stride * (4 // cfg["sf"]) if args.chop_stride else st
-    pipe = ResShiftPipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    pipe = ResShiftPipeline(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                            quant_vqgan=getattr(args, "quant_vqgan", None))
     return pipe
 
 
@@ -362,9 +363,11 @@ def cmd_train(args):
     if "data" not in cfg or not cfg["data"].get("train"):
         raise SystemExit("config has no data.train section — provide --config "
                          "with dataset paths")
+    # handle_signals: SIGTERM (pod preemption) / SIGINT checkpoint cleanly
+    # at the next iteration boundary and exit; resume is bit-identical
     Trainer(cfg, save_dir=args.save_dir, resume=args.resume,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            seed=args.seed).train()
+            seed=args.seed).train(handle_signals=True)
 
 
 def cmd_convert(args):
@@ -413,6 +416,10 @@ def make_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=12345)
         sp.add_argument("--bf16", action="store_true", default=True)
         sp.add_argument("--fp32", dest="bf16", action="store_false")
+        sp.add_argument("--quant-vqgan", default=None, choices=["int8"],
+                        help="EXPERIMENTAL int8 conv backbones for the VQGAN "
+                             "halves (measured net-negative at the composed "
+                             "level — see PERF.md; denoiser stays bf16)")
         sp.add_argument("--distributed", action="store_true",
                         help="force jax.distributed.initialize() (auto-detected "
                              "on TPU pods / when JAX_COORDINATOR_ADDRESS is set)")

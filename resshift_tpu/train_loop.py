@@ -27,7 +27,9 @@ distinct degradations/timesteps/noise — the reference's per-rank seeding
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import time
 from pathlib import Path
 
@@ -35,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import restore_train_state, save_train_state
+from .checkpoint import AsyncSaver, restore_train_state
 from .data.datasets import DataLoader, create_dataset
 from .data.realesrgan import DegradationConfig, RealESRGANDegrader
 from .ops.metrics import batch_psnr, batch_ssim
@@ -54,6 +56,46 @@ def iteration_key(seed: int, it: int, process_index: int) -> jax.Array:
     """
     base = jax.random.fold_in(jax.random.PRNGKey(seed), process_index)
     return jax.random.fold_in(base, it)
+
+
+@contextlib.contextmanager
+def graceful_stop(sigs=(signal.SIGTERM, signal.SIGINT)):
+    """Install handlers that convert SIGTERM/SIGINT into a stop *request*.
+
+    Yields a zero-arg callable that reports whether a stop was requested.
+    TPU-pod preemption arrives as SIGTERM with a grace window; the train
+    loop checks the flag at each iteration boundary, writes a final
+    checkpoint, and exits cleanly — combined with the bit-identical resume
+    (deterministic loader fast-forward + step-indexed PRNG keys), a
+    preempted run continues exactly where it stopped.  The reference has no
+    preemption story (recovery is manual --resume, SURVEY §5.3).
+
+    Handlers are restored on exit; a second signal while stopping falls
+    through to the previous handler (so a stuck save can still be killed).
+    """
+    flag = {"stop": False}
+    prev = {}
+
+    def _handler(signum, frame):
+        if flag["stop"]:  # second signal: defer to the original behavior
+            old = prev.get(signum)
+            if callable(old):
+                return old(signum, frame)
+            raise KeyboardInterrupt
+        flag["stop"] = True
+        print(f"[signal] {signal.Signals(signum).name} received — will "
+              "checkpoint and stop at the next iteration boundary", flush=True)
+
+    try:
+        for s in sigs:
+            prev[s] = signal.signal(s, _handler)
+    except ValueError:  # not on the main thread: run without handlers
+        prev.clear()
+    try:
+        yield lambda: flag["stop"]
+    finally:
+        for s, old in prev.items():
+            signal.signal(s, old)
 
 
 class Trainer:
@@ -149,6 +191,7 @@ class Trainer:
 
         self._jstep = None
         self._jviz = None
+        self._saver = None
         self.start_iter = 0
         if resume:
             self.resume(resume)
@@ -198,11 +241,20 @@ class Trainer:
             return self.degrader(self.np_rng, key, raw)
         return {k: v for k, v in raw.items() if not isinstance(v, list)}
 
-    def train(self, stop_iter: int | None = None):
+    def train(self, stop_iter: int | None = None, handle_signals: bool = False):
         """Run the loop to `train.iterations` (or the earlier `stop_iter` —
         an interruption point: the LR schedule, loader stream, and PRNG keys
         are those of the full-length run, so a later resume continues
-        bit-identically)."""
+        bit-identically).
+
+        `handle_signals=True` (the CLI default) additionally turns
+        SIGTERM/SIGINT into a clean checkpoint-and-stop at the next
+        iteration boundary — preemption-safe training (see graceful_stop)."""
+        ctx = graceful_stop() if handle_signals else contextlib.nullcontext(lambda: False)
+        with ctx as stop_requested:
+            return self._train_loop(stop_iter, stop_requested)
+
+    def _train_loop(self, stop_iter, stop_requested):
         log_path = self.save_dir / "train_log.jsonl"
         it = self.start_iter
         end = self.tcfg.iterations if stop_iter is None else min(
@@ -234,7 +286,14 @@ class Trainer:
             if it % self.val_freq == 0 and self.val_cfg and self.rank0:
                 self.validate(it)
             if it % self.save_freq == 0 and self.rank0:
-                self.save(it)
+                self.save(it, block=False)
+            if stop_requested():
+                if self.rank0:
+                    self.save(it)
+                    print(f"[signal] stopped cleanly at step {it}; resume "
+                          f"from {self.save_dir / 'ckpts'}/step_{it:08d}",
+                          flush=True)
+                return self.state
         if self.rank0:
             self.save(it)
         return self.state
@@ -381,9 +440,18 @@ class Trainer:
             return psnr / n, ssim / n
         return None
 
-    def save(self, it: int):
-        save_train_state(self.save_dir / "ckpts", self.state, step=it)
-        print(f"[ckpt] saved step {it}", flush=True)
+    def save(self, it: int, block: bool = True):
+        """Checkpoint the train state.  `block=False` (used for in-loop
+        periodic saves) returns as soon as the device->host copy is done and
+        lets the disk write proceed on orbax's background thread — the next
+        save (or a blocking final save) joins it."""
+        if self._saver is None:
+            self._saver = AsyncSaver()
+        self._saver.save(self.save_dir / "ckpts", self.state, step=it)
+        if block:
+            self._saver.wait()
+        print(f"[ckpt] {'saved' if block else 'saving (async)'} step {it}",
+              flush=True)
 
     def resume(self, path: str):
         self.state = restore_train_state(path, self.state)

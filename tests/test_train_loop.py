@@ -128,6 +128,76 @@ def test_checkpoint_save_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+def test_preemption_signal_checkpoints_and_resumes(tmp_path):
+    """SIGTERM (pod preemption) mid-run -> clean checkpoint at the iteration
+    boundary, exactly equivalent to a planned `stop_iter` interruption:
+    resuming both produces bit-identical final params.  (Continuity vs an
+    UNinterrupted run is proven separately with deterministic paired data —
+    tools/train_proof.py resume block + the loader fast-forward test; with
+    per-item-RNG datasets like bicubic both interruption styles resume on
+    the same fresh-but-deterministic stream, the reference's behavior.)
+    The reference has no preemption story (manual --resume only, SURVEY
+    §5.3)."""
+    import signal
+
+    cfg = tiny_train_config("bicubic", iterations=4)
+    cfg["train"]["save_freq"] = 2  # planned run checkpoints at step 2
+
+    # planned interruption: stop_iter=2, resume, finish
+    a = Trainer(cfg, save_dir=str(tmp_path / "plan"), seed=0)
+    a.train(stop_iter=2)
+    a2 = Trainer(cfg, save_dir=str(tmp_path / "plan2"), seed=0)
+    a2.resume(str(tmp_path / "plan" / "ckpts" / "step_00000002"))
+    want = a2.train()
+
+    # preemption: SIGTERM delivered during iteration 2
+    cfg_b = tiny_train_config("bicubic", iterations=4)
+    cfg_b["train"]["save_freq"] = 1000  # only the signal's checkpoint
+    tr = Trainer(cfg_b, save_dir=str(tmp_path / "pre"), seed=0)
+    orig = tr.prepare_batch
+    seen = []
+
+    def pb(raw, key):
+        seen.append(1)
+        if len(seen) == 2:  # deliver the signal during iteration 2
+            signal.raise_signal(signal.SIGTERM)
+        return orig(raw, key)
+
+    tr.prepare_batch = pb
+    state = tr.train(handle_signals=True)
+    assert int(state.step) == 2  # stopped at the boundary after iter 2
+    ck = tmp_path / "pre" / "ckpts" / "step_00000002"
+    assert ck.exists()
+    # handlers restored after train()
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)
+
+    tr2 = Trainer(cfg_b, save_dir=str(tmp_path / "resumed"), seed=0)
+    tr2.resume(str(ck))
+    got = tr2.train()
+    assert int(got.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(want.params),
+                    jax.tree_util.tree_leaves(got.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_save_joined_by_final_save(tmp_path):
+    """Periodic in-loop saves are async (non-blocking); the final blocking
+    save joins them and every checkpoint directory is complete on disk."""
+    cfg = tiny_train_config("bicubic", iterations=2)
+    cfg["train"]["save_freq"] = 1  # async save fires every iteration
+    tr = Trainer(cfg, save_dir=str(tmp_path), seed=0)
+    state = tr.train()
+    from resshift_tpu.checkpoint import restore_train_state
+
+    for step in (1, 2):
+        ck = tmp_path / "ckpts" / f"step_{step:08d}"
+        assert ck.exists()
+    back = restore_train_state(tmp_path / "ckpts" / "step_00000002", tr.state)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(back.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_schedule_replay():
     from resshift_tpu.trainer import TrainConfig, lr_schedule_fn
 
