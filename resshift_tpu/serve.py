@@ -18,6 +18,13 @@ requests that arrive within `batch_window_s` (up to `max_batch`, default
 the measured single-chip sweet spot region) into a single sampler call —
 each image in the batch draws independent prior noise, so identical
 concurrent inputs still produce distinct stochastic restorations.
+
+Multi-chip hosts (auto-detected; `--dp/--no-dp` overrides): each dispatched
+batch is sharded over the local chips' `data` mesh axis
+(pipeline.sample_batch_sharded — image-local sampling, zero collectives),
+and a single over-chop-size image shards its tile grid instead
+(sample_tiles_sharded).  The reference's serving layer is strictly
+single-GPU per request (predict.py/app.py).
 """
 
 from __future__ import annotations
@@ -60,7 +67,8 @@ class Predictor:
     def __init__(self, task: str = "realsr_v3", ckpt: str | None = None,
                  vqgan_ckpt: str | None = None, seed: int = 12345, bf16: bool = True,
                  chop_bs: int = 1, max_batch: int = 8,
-                 batch_window_s: float = 0.01):
+                 batch_window_s: float = 0.01, quant_vqgan: str | None = None,
+                 data_parallel: bool | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -68,7 +76,24 @@ class Predictor:
         from .utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()  # serving restarts skip the 20-40 s jit
-        self.pipe = ResShiftPipeline(task, dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        self.pipe = ResShiftPipeline(task, dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                                     quant_vqgan=quant_vqgan)
+        # multi-chip serving: shard each dispatched micro-batch over a
+        # `data` mesh axis (pipeline.sample_batch_sharded — every image's
+        # sampler is chip-local, zero collective traffic).  Auto-on when
+        # this host owns >1 accelerator; explicit data_parallel=True/False
+        # overrides (tests use the 8-device virtual CPU mesh).
+        n_dev = jax.local_device_count()
+        if data_parallel is None:
+            data_parallel = n_dev > 1 and jax.devices()[0].platform == "tpu"
+        if data_parallel and n_dev > 1:
+            from .parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            # a full device row per dispatch amortizes the per-chip batch
+            max_batch = max(int(max_batch), n_dev)
+        else:
+            self.mesh = None
         if ckpt and ckpt.endswith(".pth"):
             self.params = self.pipe.load_torch_checkpoints(ckpt, vqgan_ckpt)
         elif ckpt:
@@ -173,6 +198,7 @@ class Predictor:
 
     def _worker_loop(self):
         import jax
+        import jax.numpy as jnp
 
         from .utils.image_io import from_model
 
@@ -187,8 +213,19 @@ class Predictor:
                         if batch[0].mask is not None else None)
                 key = jax.random.fold_in(self._key, next(self._count))
                 t0 = time.perf_counter()
-                out = self.pipe.sample(self.params, lq, key, mask=mask,
-                                       tile_bs=self.chop_bs)
+                if self.mesh is not None and (
+                        lq.shape[0] == 1 and (lq.shape[1] > self.pipe.chop_size
+                                              or lq.shape[2] > self.pipe.chop_size)):
+                    # one big image: its tile grid rides the mesh instead
+                    out = self.pipe.sample_tiles_sharded(
+                        self.params, jnp.asarray(lq), key, self.mesh, mask=mask)
+                elif self.mesh is not None:
+                    out = self.pipe.sample_batch_sharded(
+                        self.params, lq, key, self.mesh, mask=mask,
+                        tile_bs=self.chop_bs)
+                else:
+                    out = self.pipe.sample(self.params, lq, key, mask=mask,
+                                           tile_bs=self.chop_bs)
                 sr = from_model(np.asarray(out))
                 self._lat.append(time.perf_counter() - t0)
                 self._n_done += len(batch)
@@ -341,9 +378,11 @@ class _Handler(BaseHTTPRequestHandler):
 def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | None = None,
           host: str = "0.0.0.0", port: int = 8080, chop_bs: int = 1,
           max_batch: int = 8, warmup: str | None = None,
-          max_body_mb: int = 64):
+          max_body_mb: int = 64, quant_vqgan: str | None = None,
+          data_parallel: bool | None = None):
     _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt, chop_bs=chop_bs,
-                                   max_batch=max_batch)
+                                   max_batch=max_batch, quant_vqgan=quant_vqgan,
+                                   data_parallel=data_parallel)
     _Handler.task = task
     _Handler.max_body = int(max_body_mb) * 1024 * 1024
     if warmup:
@@ -373,9 +412,17 @@ def main(argv=None):
                    help="pre-compile the sampler for this input size, e.g. 64x64")
     p.add_argument("--max-body-mb", type=int, default=64,
                    help="reject request bodies larger than this (413)")
+    p.add_argument("--quant-vqgan", default=None, choices=["int8"],
+                   help="EXPERIMENTAL int8 conv backbones for the VQGAN "
+                        "halves (measured net-negative at the composed "
+                        "level — see PERF.md; denoiser stays bf16)")
+    p.add_argument("--dp", dest="data_parallel", action="store_true", default=None,
+                   help="shard each dispatched batch over all local chips "
+                        "(auto-on for multi-chip TPU hosts)")
+    p.add_argument("--no-dp", dest="data_parallel", action="store_false")
     a = p.parse_args(argv)
     serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port, a.chop_bs,
-          a.max_batch, a.warmup, a.max_body_mb)
+          a.max_batch, a.warmup, a.max_body_mb, a.quant_vqgan, a.data_parallel)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,33 @@ def test_predictor_concurrent_requests_batched():
         pred.close()
 
 
+def test_predictor_data_parallel_mesh():
+    """data_parallel=True serves each dispatched batch sharded over the
+    8-device mesh (pipeline.sample_batch_sharded) — concurrent requests
+    land on distinct chips instead of idling N-1 of them."""
+    pred = _tiny_predictor(max_batch=8, batch_window_s=0.5, data_parallel=True)
+    try:
+        assert pred.mesh is not None and pred.mesh.devices.size == 8
+        pred.warmup((16, 16), batch_sizes=(1,))
+        img = (np.random.default_rng(2).random((16, 16, 3)) * 255).astype(np.uint8)
+        n = 5  # non-multiple of 8: exercises the pad/crop path
+        results: list = [None] * n
+
+        def post(i):
+            results[i] = pred.predict(img)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None and r.shape == (64, 64, 3) for r in results)
+        for i in range(1, n):
+            assert not np.array_equal(results[0], results[i])
+    finally:
+        pred.close()
+
+
 def test_predictor_mixed_shapes_and_errors():
     """Different-shape concurrent requests are grouped separately and both
     served; a failing request reports its error without killing the worker."""
