@@ -145,7 +145,19 @@ def cmd_infer(args):
             mask = np.concatenate(ms, axis=0)
         k = jax.random.fold_in(key, n_done)
         t0 = time.perf_counter()
-        if args.time_parallel and lq.shape[1] <= pipe.chop_size \
+        if getattr(args, "tensor_parallel", False) and n_dev > 1 \
+                and lq.shape[1] <= pipe.chop_size and lq.shape[2] <= pipe.chop_size:
+            # model weights sharded over all local chips (parallel/tp.py):
+            # batch-1 latency scaling — every chip computes a channel/head
+            # shard of each layer, collectives on ICI
+            from jax.sharding import Mesh
+
+            tp_mesh = Mesh(np.array(jax.devices()), ("model",))
+            sr = pipe.sample_tp(
+                params, jax.numpy.asarray(lq), k, tp_mesh,
+                mask=None if mask is None else jax.numpy.asarray(mask),
+                noise_repeat=args.noise_repeat)
+        elif args.time_parallel and lq.shape[1] <= pipe.chop_size \
                 and lq.shape[2] <= pipe.chop_size:
             # Picard-parallel reverse chain: the denoiser runs `sweeps`
             # times on a (T*B) batch sharded over the mesh instead of T
@@ -440,6 +452,10 @@ def make_parser() -> argparse.ArgumentParser:
     pi.add_argument("--time-parallel", type=int, default=0, metavar="SWEEPS",
                     help="Picard-parallel sampling with this many sweeps "
                          "(latency mode; sweeps = steps is exact)")
+    pi.add_argument("--tensor-parallel", action="store_true",
+                    help="shard the model over all local chips "
+                         "(parallel/tp.py; exact — batch-1 latency mode for "
+                         "single-tile inputs)")
     pi.set_defaults(fn=cmd_infer)
 
     pe = sub.add_parser("eval", help="README reproduce protocols "

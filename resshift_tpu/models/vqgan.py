@@ -107,6 +107,12 @@ class AttnBlock(nn.Module):
     dtype: Dtype = jnp.float32
     chunk_threshold: int = 16384  # switch to chunked softmax above this token count
     identity: bool = False        # census ablation: skip the whole block
+    # tri-state kernel switch (same contract as UNetModelSwin.use_pallas):
+    # True/False pin the flash-kernel/XLA path and are part of the module
+    # (hence of any jit cache key); None = auto via flash_available().  The
+    # tensor-parallel sampler pins False — GSPMD can partition the XLA
+    # composition but not the Pallas custom call.
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -121,7 +127,9 @@ class AttnBlock(nn.Module):
         n = h * w
         from ..ops.flash_attention_pallas import flash_attention_1h, flash_available
 
-        if flash_available(n, c) and n >= 512:
+        ok = flash_available(n, c) if self.use_pallas is None else (
+            self.use_pallas and flash_available(n, c))
+        if ok and n >= 512:
             out = flash_attention_1h(q, k, v)
         elif n > self.chunk_threshold:
             out = _chunked_attention(q, k, v, chunk=4096)
@@ -185,6 +193,7 @@ class Encoder(nn.Module):
     resamp_with_conv: bool = True
     dtype: Dtype = jnp.float32
     quant: str | None = None  # 'int8' serving mode: quantize all interior convs
+    use_pallas: bool | None = None  # threaded to AttnBlock (TP pins False)
 
     def _nrb(self) -> list[int]:
         n = self.num_res_blocks
@@ -207,6 +216,7 @@ class Encoder(nn.Module):
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
                     h = AttnBlock(block_in, dtype=self.dtype,
+                                  use_pallas=self.use_pallas,
                                   name=f"down{i_level}_attn{i_block}")(h)
             if i_level != len(self.ch_mult) - 1:
                 h = Downsample(block_in, self.resamp_with_conv, dtype=self.dtype,
@@ -216,7 +226,8 @@ class Encoder(nn.Module):
 
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
                         dtype=self.dtype, quant=self.quant, name="mid_block1")(h)
-        h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn1")(h)
+        h = AttnBlock(block_in, dtype=self.dtype,
+                      use_pallas=self.use_pallas, name="mid_attn1")(h)
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
                         dtype=self.dtype, quant=self.quant, name="mid_block2")(h)
 
@@ -239,6 +250,7 @@ class Decoder(nn.Module):
     tanh_out: bool = False
     dtype: Dtype = jnp.float32
     quant: str | None = None  # 'int8' serving mode (conv_out stays exact)
+    use_pallas: bool | None = None  # threaded to AttnBlock (TP pins False)
 
     def _nrb(self) -> list[int]:
         n = self.num_res_blocks
@@ -254,7 +266,8 @@ class Decoder(nn.Module):
         h = _conv(self.quant, block_in, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
                         dtype=self.dtype, quant=self.quant, name="mid_block1")(h)
-        h = AttnBlock(block_in, dtype=self.dtype, name="mid_attn1")(h)
+        h = AttnBlock(block_in, dtype=self.dtype,
+                      use_pallas=self.use_pallas, name="mid_attn1")(h)
         h = ResnetBlock(in_channels=block_in, dropout=self.dropout,
                         dtype=self.dtype, quant=self.quant, name="mid_block2")(h)
 
@@ -268,6 +281,7 @@ class Decoder(nn.Module):
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
                     h = AttnBlock(block_in, dtype=self.dtype,
+                                  use_pallas=self.use_pallas,
                                   name=f"up{i_level}_attn{i_block}")(h)
             if i_level != 0:
                 h = Upsample(block_in, self.resamp_with_conv, dtype=self.dtype,
@@ -285,6 +299,7 @@ class VectorQuantizer(nn.Module):
 
     n_e: int = 8192
     e_dim: int = 3
+    use_pallas: bool | None = None  # None = auto (TPU); False = XLA argmin
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -297,9 +312,13 @@ class VectorQuantizer(nn.Module):
         flat = zf.reshape(-1, self.e_dim)
         # nearest-codebook search: Pallas index-only kernel on TPU (avoids
         # the (rows, n_e) distance-matrix HBM round trip), XLA elsewhere
-        from ..ops.vq_pallas import nearest_codebook_indices
+        from ..ops.vq_pallas import (nearest_codebook_indices,
+                                     nearest_codebook_indices_xla)
 
-        idx = nearest_codebook_indices(flat, emb)
+        if self.use_pallas is False:
+            idx = nearest_codebook_indices_xla(flat, emb)
+        else:
+            idx = nearest_codebook_indices(flat, emb)
         z_q = emb[idx].reshape(zf.shape)
         # straight-through estimator
         z_q = zf + jax.lax.stop_gradient(z_q - zf)
@@ -314,6 +333,7 @@ class AutoencoderKL(nn.Module):
     embed_dim: int = 4
     dtype: Dtype = jnp.float32
     quant: str | None = None
+    use_pallas: bool | None = None
 
     def setup(self):
         dd = dict(self.ddconfig)
@@ -322,9 +342,11 @@ class AutoencoderKL(nn.Module):
         out_ch = dd.pop("out_ch", 3)
         in_channels = dd.pop("in_channels", 3)
         self.encoder = Encoder(in_channels=in_channels, double_z=True,
-                               dtype=self.dtype, quant=self.quant, **dd)
+                               dtype=self.dtype, quant=self.quant,
+                               use_pallas=self.use_pallas, **dd)
         self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype,
-                               quant=self.quant, **dd)
+                               quant=self.quant,
+                               use_pallas=self.use_pallas, **dd)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype,
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(self.ddconfig["z_channels"], (1, 1),
@@ -371,6 +393,7 @@ class VQModel(nn.Module):
     embed_dim: int = 3
     dtype: Dtype = jnp.float32
     quant: str | None = None  # 'int8' serving mode for both conv backbones
+    use_pallas: bool | None = None  # tri-state, same contract as UNetModelSwin
 
     def setup(self):
         dd = dict(self.ddconfig)
@@ -379,10 +402,13 @@ class VQModel(nn.Module):
         out_ch = dd.pop("out_ch", 3)
         in_channels = dd.pop("in_channels", 3)
         self.encoder = Encoder(in_channels=in_channels, double_z=False,
-                               dtype=self.dtype, quant=self.quant, **dd)
+                               dtype=self.dtype, quant=self.quant,
+                               use_pallas=self.use_pallas, **dd)
         self.decoder = Decoder(out_ch=out_ch, dtype=self.dtype,
-                               quant=self.quant, **dd)
-        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
+                               quant=self.quant,
+                               use_pallas=self.use_pallas, **dd)
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim,
+                                        use_pallas=self.use_pallas)
         self.quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="quant_conv")
         self.post_quant_conv = nn.Conv(self.ddconfig["z_channels"], (1, 1),
                                        dtype=self.dtype, name="post_quant_conv")

@@ -1,3 +1,5 @@
 from .mesh import make_mesh, shard_batch, replicate, data_parallel_shardings, P
+from .tp import param_specs, param_shardings, shard_params
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings", "P"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings",
+           "P", "param_specs", "param_shardings", "shard_params"]

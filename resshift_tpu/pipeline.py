@@ -374,6 +374,67 @@ class ResShiftPipeline:
 
     # -------------------------------------------------------------- API
 
+    def _tp_clone(self) -> "ResShiftPipeline":
+        """Shallow pipeline clone whose modules pin `use_pallas=False`.
+
+        GSPMD partitions XLA ops but treats Pallas custom calls as opaque,
+        so the tensor-parallel sampler runs the (mathematically identical)
+        XLA compositions.  The clone shares schedule/config; its jit cache
+        is private.
+        """
+        import copy
+
+        tp = copy.copy(self)
+        tp.unet = self.unet.clone(use_pallas=False)
+        if self.vq is not None:
+            tp.vq = self.vq.clone(use_pallas=False)
+        tp._jit_cache = {}
+        return tp
+
+    def sample_tp(self, params, lq, key, mesh, mask=None, *,
+                  noise_repeat=False):
+        """Tensor-parallel sampler: model weights sharded over the mesh's
+        `model` axis (parallel/tp.py layout), optionally combined with batch
+        sharding over a `data` axis (2-D DP x TP mesh).
+
+        This is the batch-1 LATENCY lever the reference cannot express: a
+        single image's denoising chain runs with every chip computing a
+        channel/feature shard of each layer, collectives riding ICI —
+        versus `sample_batch_sharded`/`sample_tiles_sharded`, which scale
+        THROUGHPUT but leave one request at single-chip latency.  Input
+        must fit one tile (no chopping), like `sample_time_parallel`.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import tp as tpmod
+
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if "model" not in axes:
+            raise ValueError("sample_tp needs a mesh axis named 'model'")
+        params = tpmod.shard_params(params, mesh)
+        n_data = axes.get("data", 1)
+        b = lq.shape[0]
+        pad = (-b) % n_data
+        if pad:
+            lq = jnp.concatenate([lq, jnp.repeat(lq[-1:], pad, axis=0)], axis=0)
+            if mask is not None:
+                mask = jnp.concatenate(
+                    [mask, jnp.repeat(mask[-1:], pad, axis=0)], axis=0)
+        bspec = P("data") if n_data > 1 else P()
+        lq = jax.device_put(lq, NamedSharding(mesh, bspec))
+        if mask is not None:
+            mask = jax.device_put(mask, NamedSharding(mesh, bspec))
+        sig = ("tp", lq.shape, None if mask is None else mask.shape,
+               bool(noise_repeat), tuple(sorted(axes.items())))
+        if sig not in self._jit_cache:
+            tpp = self._tp_clone()
+            self._jit_cache[sig] = jax.jit(
+                lambda p, x, k, m: tpp._sample_tile(p, x, k, m, noise_repeat),
+                out_shardings=NamedSharding(mesh, bspec))
+        with mesh:
+            out = self._jit_cache[sig](params, lq, key, mask)
+        return out[:b]
+
     def sample_tiles_sharded(self, params, lq, key, mesh, mask=None, *,
                              chop_size: int | None = None,
                              chop_stride: int | None = None):

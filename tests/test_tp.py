@@ -1,0 +1,122 @@
+"""Tensor-parallel sampler tests (parallel/tp.py, pipeline.sample_tp).
+
+Sharding annotations never change the math — GSPMD inserts collectives but
+computes the same values up to float reduction order — so the main test is
+exactness against the single-device sampler on the virtual CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from resshift_tpu.parallel import tp
+from resshift_tpu.pipeline import ResShiftPipeline
+
+from test_pipeline import tiny_config
+
+
+def _mesh(shape, names):
+    devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def test_param_specs_structure_and_rules():
+    pipe = ResShiftPipeline(tiny_config(), dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    specs = tp.param_specs(params, n_model=4)
+    # same tree structure
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                specs, is_leaf=lambda x: isinstance(x, P)))
+
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda x: isinstance(x, P))[0]
+    by_path = {"/".join(getattr(k, "key", str(k)) for k in path): s
+               for path, s in flat}
+    # Megatron pairs on the swin blocks
+    assert by_path["unet/mid_swin/block0/attn/qkv/kernel"] == P(None, "model")
+    assert by_path["unet/mid_swin/block0/attn/proj/kernel"] == P("model", None)
+    assert by_path["unet/mid_swin/block0/mlp_fc1/kernel"] == P(None, "model")
+    assert by_path["unet/mid_swin/block0/mlp_fc2/kernel"] == P("model", None)
+    # row-parallel biases are added after the all-reduce -> replicated
+    assert by_path["unet/mid_swin/block0/attn/proj/bias"] == P()
+    assert by_path["unet/mid_swin/block0/mlp_fc1/bias"] == P("model")
+    # conv output channels
+    assert by_path["unet/conv_in/kernel"] == P(None, None, None, "model")
+    assert by_path["unet/conv_in/bias"] == P("model")
+    # 3-channel heads don't divide -> replicated
+    assert by_path["unet/out_conv/kernel"] == P()
+    assert by_path["vqgan/decoder/conv_out/kernel"] == P()
+    # norm affines + codebook replicated
+    assert by_path["unet/out_norm/scale"] == P()
+    assert by_path["unet/mid_swin/block0/norm1/bias"] == P()
+    assert by_path["vqgan/quantize/embedding"] == P()
+    # divisibility guard: n_model that divides nothing -> fully replicated
+    specs7 = tp.param_specs(params, n_model=7)
+    assert all(s == P() for _, s in jax.tree_util.tree_flatten_with_path(
+        specs7, is_leaf=lambda x: isinstance(x, P))[0])
+
+
+def test_sample_tp_exact_vs_single_device_pixel_space():
+    # pixel-space diffusion (no VQ argmin): sharded-vs-single diffs are pure
+    # reduction-order float noise, so the comparison can be tight
+    pipe = ResShiftPipeline(tiny_config(sf=1), dtype=jnp.float32,
+                            use_autoencoder=False)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3),
+                            jnp.float32, -1.0, 1.0)
+    key = jax.random.PRNGKey(2)
+    want = np.asarray(pipe.sample(params, lq, key))
+    mesh = _mesh((4,), ("model",))
+    got = np.asarray(pipe.sample_tp(params, lq, key, mesh))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_sample_tp_full_pipeline_dp_x_tp_mesh():
+    # full VQGAN pipeline on a 2x2 (data x model) mesh, odd batch (pad path).
+    # The random-codebook VQ argmin can flip codes on reduction-order-level
+    # score ties (same amplification as tools/fidelity_probe.py), so the
+    # agreement check is PSNR-style rather than elementwise-tight.
+    pipe = ResShiftPipeline(tiny_config(), dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (3, 16, 16, 3),
+                            jnp.float32, -1.0, 1.0)
+    key = jax.random.PRNGKey(2)
+    want = np.asarray(pipe.sample(params, lq, key))
+    mesh = _mesh((2, 2), ("data", "model"))
+    got = np.asarray(pipe.sample_tp(params, lq, key, mesh))
+    assert got.shape == want.shape == (3, 64, 64, 3)
+    assert np.isfinite(got).all()
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10 * np.log10(4.0 / mse) if mse > 0 else np.inf
+    assert psnr >= 35.0, f"TP-vs-single PSNR {psnr:.1f} dB"
+    # each request must stay distinct (the pad row is cropped)
+    assert not np.allclose(got[0], got[1])
+
+
+def test_cli_tensor_parallel_flag_parses():
+    from resshift_tpu.cli import make_parser
+
+    a = make_parser().parse_args(
+        ["infer", "--in-path", "x", "--out-path", "y", "--tensor-parallel"])
+    assert a.tensor_parallel is True
+    a = make_parser().parse_args(["infer", "--in-path", "x", "--out-path", "y"])
+    assert a.tensor_parallel is False
+
+
+def test_shard_params_places_shards():
+    pipe = ResShiftPipeline(tiny_config(), dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    mesh = _mesh((4,), ("model",))
+    sharded = tp.shard_params(params, mesh)
+    qkv = sharded["unet"]["mid_swin"]["block0"]["attn"]["qkv"]["kernel"]
+    # 4-way column shard: each device holds out_features/4
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    assert shard_shapes == {(qkv.shape[0], qkv.shape[1] // 4)}
+    # values unchanged by placement
+    np.testing.assert_array_equal(
+        np.asarray(qkv),
+        np.asarray(params["unet"]["mid_swin"]["block0"]["attn"]["qkv"]["kernel"]))
