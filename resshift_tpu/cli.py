@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -132,8 +133,18 @@ def cmd_infer(args):
                 yield pend.pop(sh)
         yield from pend.values()
 
-    t_total, px_total, n_done = 0.0, 0, 0
-    for group in batches():
+    # Pipelined loop: a reader thread prepares batches ahead of dispatch and
+    # a writer thread forces + PNG-encodes results, so host I/O overlaps the
+    # device compute (utils/io_pipeline.py; the reference loop is serial,
+    # sampler.py:267-291).
+    from .utils.io_pipeline import AsyncWriter, prefetch
+
+    state = {"px": 0, "done": 0}
+    t_start = time.perf_counter()
+    lock = threading.Lock()
+    writer = AsyncWriter(depth=2)
+    n_done = 0
+    for group in prefetch(batches(), depth=2):
         ims = [im for _, im in group]
         lq = np.concatenate([to_model(im) for im in ims], axis=0)
         mask = None
@@ -144,7 +155,6 @@ def cmd_infer(args):
                 ms.append(to_model(imread(mf, chn="gray")))
             mask = np.concatenate(ms, axis=0)
         k = jax.random.fold_in(key, n_done)
-        t0 = time.perf_counter()
         if getattr(args, "tensor_parallel", False) and n_dev > 1 \
                 and lq.shape[1] <= pipe.chop_size and lq.shape[2] <= pipe.chop_size:
             # model weights sharded over all local chips (parallel/tp.py):
@@ -179,21 +189,35 @@ def cmd_infer(args):
         else:
             sr = pipe.sample(params, lq, k, mask=mask,
                              noise_repeat=args.noise_repeat, tile_bs=args.chop_bs)
-        sr = np.asarray(sr)
-        dt = time.perf_counter() - t0
-        t_total += dt
-        px_total += sr.shape[0] * sr.shape[1] * sr.shape[2]
-        for j, (f, im) in enumerate(group):
-            sr01 = from_model(sr[j:j + 1])[0]
-            if mask is not None and args.mask_back:
-                m01 = np.asarray(mask)[j] * 0.5 + 0.5
-                sr01 = sr01 * m01 + (im[..., :3] * (1 - m01))
-            imwrite(sr01, out_path / f"{f.stem}.png")
         n_done += len(group)
-        print(f"[{n_done}/{len(files)}] batch of {len(group)}: "
-              f"{sr.shape[2]}x{sr.shape[1]} in {dt:.2f}s")
 
-    print(f"Done: {px_total / max(t_total, 1e-9) / 1e6:.3f} Mpx/s -> {out_path}")
+        def write_job(pool, group=group, sr=sr, mask=mask,
+                      mask_back=args.mask_back):
+            arr = np.asarray(sr)  # blocks until the device finishes this batch
+
+            def write_one(j_f_im):
+                j, (f, im) = j_f_im
+                sr01 = from_model(arr[j:j + 1])[0]
+                if mask is not None and mask_back:
+                    m01 = np.asarray(mask)[j] * 0.5 + 0.5
+                    sr01 = sr01 * m01 + (im[..., :3] * (1 - m01))
+                imwrite(sr01, out_path / f"{f.stem}.png")
+
+            list(pool.map(write_one, enumerate(group)))
+            with lock:
+                state["px"] += arr.shape[0] * arr.shape[1] * arr.shape[2]
+                state["done"] += len(group)
+                done = state["done"]
+            print(f"[{done}/{len(files)}] batch of {len(group)}: "
+                  f"{arr.shape[2]}x{arr.shape[1]} "
+                  f"({time.perf_counter() - t_start:.2f}s elapsed)")
+
+        writer.submit(write_job)
+    writer.close()
+    t_total = time.perf_counter() - t_start
+
+    print(f"Done: {state['px'] / max(t_total, 1e-9) / 1e6:.3f} Mpx/s "
+          f"wall (compute + pipelined I/O) -> {out_path}")
 
     if args.gt_path:
         report_metrics(files, out_path, Path(args.gt_path),
@@ -318,6 +342,8 @@ def _run_eval_inference(pipe, params, args):
     from .parallel.mesh import make_mesh
     from .utils.image_io import from_model, imread, imwrite, list_images, to_model
 
+    from .utils.io_pipeline import AsyncWriter, prefetch
+
     in_path, out_path = Path(args.in_path), Path(args.out_path)
     out_path.mkdir(parents=True, exist_ok=True)
     files = list_images(in_path) if in_path.is_dir() else [in_path]
@@ -326,35 +352,46 @@ def _run_eval_inference(pipe, params, args):
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
     t0 = time.perf_counter()
-    batch, names = [], []
     done = 0
+    counter = {"done": 0}
+    lock = threading.Lock()
 
-    def flush():
-        nonlocal batch, names, done
-        if not batch:
-            return
-        lq = np.concatenate(batch, axis=0)
-        k = jax.random.fold_in(key, done)
-        if n_dev > 1 and lq.shape[0] > 1:
-            sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh)
-        elif n_dev > 1 and (lq.shape[1] > pipe.chop_size
-                            or lq.shape[2] > pipe.chop_size):
-            sr = pipe.sample_tiles_sharded(params, jax.numpy.asarray(lq), k, mesh)
-        else:
-            sr = pipe.sample(params, lq, k)
-        sr = np.asarray(sr)
-        for j, f in enumerate(names):
-            imwrite(from_model(sr[j:j + 1])[0], out_path / f"{f.stem}.png")
-        done += len(names)
-        print(f"[{done}/{len(files)}]", flush=True)
+    def read_batches():
         batch, names = [], []
+        for f in files:
+            batch.append(to_model(imread(f)))
+            names.append(f)
+            if len(batch) == bs:
+                yield np.concatenate(batch, axis=0), names
+                batch, names = [], []
+        if batch:
+            yield np.concatenate(batch, axis=0), names
 
-    for f in files:
-        batch.append(to_model(imread(f)))
-        names.append(f)
-        if len(batch) == bs:
-            flush()
-    flush()
+    # reads prefetch ahead of dispatch; PNG writes force + encode on a
+    # background thread — host I/O rides under the device compute
+    with AsyncWriter(depth=2) as writer:
+        for lq, names in prefetch(read_batches(), depth=2):
+            k = jax.random.fold_in(key, done)
+            if n_dev > 1 and lq.shape[0] > 1:
+                sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh)
+            elif n_dev > 1 and (lq.shape[1] > pipe.chop_size
+                                or lq.shape[2] > pipe.chop_size):
+                sr = pipe.sample_tiles_sharded(params, jax.numpy.asarray(lq), k, mesh)
+            else:
+                sr = pipe.sample(params, lq, k)
+            done += len(names)
+
+            def write_job(pool, sr=sr, names=names):
+                arr = np.asarray(sr)
+                list(pool.map(
+                    lambda jf: imwrite(from_model(arr[jf[0]:jf[0] + 1])[0],
+                                       out_path / f"{jf[1].stem}.png"),
+                    enumerate(names)))
+                with lock:
+                    counter["done"] += len(names)
+                    print(f"[{counter['done']}/{len(files)}]", flush=True)
+
+            writer.submit(write_job)
     dt = time.perf_counter() - t0
     print(f"Protocol {args.protocol}: {len(files)} images in {dt:.1f}s")
     if args.gt_path:

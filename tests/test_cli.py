@@ -279,3 +279,46 @@ def test_cli_export_command(tmp_path):
           "--out-path", str(out), "--hw", "16x16", "--batch", "1"])
     call, manifest = load_artifact(out)
     assert manifest["batch"] == 1 and manifest["input_hw"] == [16, 16]
+
+
+def test_cmd_infer_pipelined_e2e(tmp_path, monkeypatch):
+    """`cli infer` end-to-end through the pipelined I/O loop (prefetch reader
+    + async writer): all outputs written, deterministic across runs, and the
+    device results land in the right files (order must survive threading)."""
+    import types
+
+    import cv2
+    import jax
+
+    import resshift_tpu.cli as cli
+    from resshift_tpu.pipeline import ResShiftPipeline
+    from tests.test_pipeline import tiny_config
+
+    pipe = ResShiftPipeline(tiny_config(), dtype=jax.numpy.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: pipe)
+    monkeypatch.setattr(cli, "_load_params", lambda p, args: params)
+
+    rng = np.random.default_rng(1)
+    in_dir = tmp_path / "lq"
+    in_dir.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(in_dir / f"im{i}.png"),
+                    rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+
+    def run(out):
+        args = types.SimpleNamespace(
+            in_path=str(in_dir), out_path=str(tmp_path / out), seed=0, bs=2,
+            mask_path=None, mask_back=False, noise_repeat=False, chop_bs=1,
+            time_parallel=0, tensor_parallel=False, gt_path=None,
+            config=None, task="realsr", version="v1", scale=4,
+            chop_size=None, chop_stride=None, bf16=False)
+        cli.cmd_infer(args)
+        return sorted((tmp_path / out).glob("*.png"))
+
+    outs = run("sr_a")
+    assert [f.name for f in outs] == [f"im{i}.png" for i in range(5)]
+    assert cv2.imread(str(outs[0])).shape == (64, 64, 3)
+    outs_b = run("sr_b")
+    for a, b in zip(outs, outs_b):
+        assert np.array_equal(cv2.imread(str(a)), cv2.imread(str(b)))

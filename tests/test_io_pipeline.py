@@ -1,0 +1,108 @@
+"""Host I/O pipelining (utils/io_pipeline.py) — ordering, bounding, errors.
+
+The inference entry points overlap image reads / PNG encodes with device
+compute via these primitives; correctness here means no output can be
+dropped, reordered, or silently lost to a swallowed exception.
+"""
+
+import threading
+import time
+
+import pytest
+
+from resshift_tpu.utils.io_pipeline import AsyncWriter, prefetch
+
+
+def test_prefetch_order_and_completeness():
+    items = list(range(57))
+    assert list(prefetch(iter(items), depth=3)) == items
+
+
+def test_prefetch_runs_ahead():
+    produced = []
+
+    def gen():
+        for i in range(6):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), depth=4)
+    first = next(it)
+    assert first == 0
+    # give the producer thread a moment: it should have run ahead of the
+    # single item consumed so far
+    deadline = time.time() + 2.0
+    while len(produced) < 3 and time.time() < deadline:
+        time.sleep(0.01)
+    assert len(produced) >= 3
+    assert list(it) == [1, 2, 3, 4, 5]
+
+
+def test_prefetch_propagates_producer_error():
+    def gen():
+        yield 1
+        raise RuntimeError("reader failed")
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="reader failed"):
+        list(it)
+
+
+def test_prefetch_early_abandonment_does_not_hang():
+    def gen():
+        for i in range(10_000):
+            yield i
+
+    it = prefetch(gen(), depth=1)
+    assert next(it) == 0
+    it.close()  # generator close() must unblock + join the producer thread
+
+
+def test_async_writer_runs_jobs_in_order():
+    seen = []
+    with AsyncWriter(depth=2, encode_threads=2) as w:
+        for i in range(20):
+            w.submit(lambda pool, i=i: seen.append(i))
+    assert seen == list(range(20))
+
+
+def test_async_writer_pool_is_usable():
+    out = []
+    lock = threading.Lock()
+
+    def job(pool):
+        def one(i):
+            with lock:
+                out.append(i)
+        list(pool.map(one, range(16)))
+
+    with AsyncWriter() as w:
+        w.submit(job)
+    assert sorted(out) == list(range(16))
+
+
+def test_async_writer_error_reraises_on_close():
+    w = AsyncWriter()
+    w.submit(lambda pool: (_ for _ in ()).throw(ValueError("encode failed")))
+    with pytest.raises(ValueError, match="encode failed"):
+        w.close()
+
+
+def test_async_writer_error_reraises_on_next_submit():
+    w = AsyncWriter(depth=1)
+    w.submit(lambda pool: (_ for _ in ()).throw(IOError("disk full")))
+    # the failure surfaces on a subsequent submit (or close); later jobs are
+    # drained without running
+    with pytest.raises(IOError, match="disk full"):
+        for _ in range(100):
+            time.sleep(0.005)
+            w.submit(lambda pool: None)
+    w.close()  # error already consumed; close is clean
+
+
+def test_async_writer_body_exception_prefers_body_error():
+    with pytest.raises(KeyError):
+        with AsyncWriter() as w:
+            w.submit(lambda pool: None)
+            raise KeyError("body")
