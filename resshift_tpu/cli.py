@@ -142,78 +142,77 @@ def cmd_infer(args):
     state = {"px": 0, "done": 0}
     t_start = time.perf_counter()
     lock = threading.Lock()
-    writer = AsyncWriter(depth=2)
     n_done = 0
-    for group in prefetch(batches(), depth=2):
-        ims = [im for _, im in group]
-        lq = np.concatenate([to_model(im) for im in ims], axis=0)
-        mask = None
-        if mask_files is not None:
-            ms = []
-            for f, _ in group:
-                mf = mask_files.get(f.stem) or next(iter(mask_files.values()))
-                ms.append(to_model(imread(mf, chn="gray")))
-            mask = np.concatenate(ms, axis=0)
-        k = jax.random.fold_in(key, n_done)
-        if getattr(args, "tensor_parallel", False) and n_dev > 1 \
-                and lq.shape[1] <= pipe.chop_size and lq.shape[2] <= pipe.chop_size:
-            # model weights sharded over all local chips (parallel/tp.py):
-            # batch-1 latency scaling — every chip computes a channel/head
-            # shard of each layer, collectives on ICI
-            from jax.sharding import Mesh
+    with AsyncWriter(depth=2) as writer:
+        for group in prefetch(batches(), depth=2):
+            ims = [im for _, im in group]
+            lq = np.concatenate([to_model(im) for im in ims], axis=0)
+            mask = None
+            if mask_files is not None:
+                ms = []
+                for f, _ in group:
+                    mf = mask_files.get(f.stem) or next(iter(mask_files.values()))
+                    ms.append(to_model(imread(mf, chn="gray")))
+                mask = np.concatenate(ms, axis=0)
+            k = jax.random.fold_in(key, n_done)
+            if getattr(args, "tensor_parallel", False) and n_dev > 1 \
+                    and lq.shape[1] <= pipe.chop_size and lq.shape[2] <= pipe.chop_size:
+                # model weights sharded over all local chips (parallel/tp.py):
+                # batch-1 latency scaling — every chip computes a channel/head
+                # shard of each layer, collectives on ICI
+                from jax.sharding import Mesh
 
-            tp_mesh = Mesh(np.array(jax.devices()), ("model",))
-            sr = pipe.sample_tp(
-                params, jax.numpy.asarray(lq), k, tp_mesh,
-                mask=None if mask is None else jax.numpy.asarray(mask),
-                noise_repeat=args.noise_repeat)
-        elif args.time_parallel and lq.shape[1] <= pipe.chop_size \
-                and lq.shape[2] <= pipe.chop_size:
-            # Picard-parallel reverse chain: the denoiser runs `sweeps`
-            # times on a (T*B) batch sharded over the mesh instead of T
-            # sequential times (latency mode; approximate below sweeps=T)
-            sr = pipe.sample_time_parallel(
-                params, jax.numpy.asarray(lq), k,
-                mask=None if mask is None else jax.numpy.asarray(mask),
-                sweeps=args.time_parallel, mesh=mesh if n_dev > 1 else None)
-        elif n_dev > 1 and lq.shape[0] > 1:
-            # shard the image batch over the mesh's data axis
-            sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh,
-                                           mask=None if mask is None else jax.numpy.asarray(mask),
-                                           noise_repeat=args.noise_repeat,
-                                           tile_bs=args.chop_bs)
-        elif n_dev > 1 and (lq.shape[1] > pipe.chop_size or lq.shape[2] > pipe.chop_size):
-            # single big image: shard its tile grid over the mesh
-            sr = pipe.sample_tiles_sharded(params, jax.numpy.asarray(lq), k, mesh,
-                                           mask=None if mask is None else jax.numpy.asarray(mask))
-        else:
-            sr = pipe.sample(params, lq, k, mask=mask,
-                             noise_repeat=args.noise_repeat, tile_bs=args.chop_bs)
-        n_done += len(group)
+                tp_mesh = Mesh(np.array(jax.devices()), ("model",))
+                sr = pipe.sample_tp(
+                    params, jax.numpy.asarray(lq), k, tp_mesh,
+                    mask=None if mask is None else jax.numpy.asarray(mask),
+                    noise_repeat=args.noise_repeat)
+            elif args.time_parallel and lq.shape[1] <= pipe.chop_size \
+                    and lq.shape[2] <= pipe.chop_size:
+                # Picard-parallel reverse chain: the denoiser runs `sweeps`
+                # times on a (T*B) batch sharded over the mesh instead of T
+                # sequential times (latency mode; approximate below sweeps=T)
+                sr = pipe.sample_time_parallel(
+                    params, jax.numpy.asarray(lq), k,
+                    mask=None if mask is None else jax.numpy.asarray(mask),
+                    sweeps=args.time_parallel, mesh=mesh if n_dev > 1 else None)
+            elif n_dev > 1 and lq.shape[0] > 1:
+                # shard the image batch over the mesh's data axis
+                sr = pipe.sample_batch_sharded(params, jax.numpy.asarray(lq), k, mesh,
+                                               mask=None if mask is None else jax.numpy.asarray(mask),
+                                               noise_repeat=args.noise_repeat,
+                                               tile_bs=args.chop_bs)
+            elif n_dev > 1 and (lq.shape[1] > pipe.chop_size or lq.shape[2] > pipe.chop_size):
+                # single big image: shard its tile grid over the mesh
+                sr = pipe.sample_tiles_sharded(params, jax.numpy.asarray(lq), k, mesh,
+                                               mask=None if mask is None else jax.numpy.asarray(mask))
+            else:
+                sr = pipe.sample(params, lq, k, mask=mask,
+                                 noise_repeat=args.noise_repeat, tile_bs=args.chop_bs)
+            n_done += len(group)
 
-        def write_job(pool, group=group, sr=sr, mask=mask,
-                      mask_back=args.mask_back):
-            arr = np.asarray(sr)  # blocks until the device finishes this batch
+            def write_job(pool, group=group, sr=sr, mask=mask,
+                          mask_back=args.mask_back):
+                arr = np.asarray(sr)  # blocks until the device finishes this batch
 
-            def write_one(j_f_im):
-                j, (f, im) = j_f_im
-                sr01 = from_model(arr[j:j + 1])[0]
-                if mask is not None and mask_back:
-                    m01 = np.asarray(mask)[j] * 0.5 + 0.5
-                    sr01 = sr01 * m01 + (im[..., :3] * (1 - m01))
-                imwrite(sr01, out_path / f"{f.stem}.png")
+                def write_one(j_f_im):
+                    j, (f, im) = j_f_im
+                    sr01 = from_model(arr[j:j + 1])[0]
+                    if mask is not None and mask_back:
+                        m01 = np.asarray(mask)[j] * 0.5 + 0.5
+                        sr01 = sr01 * m01 + (im[..., :3] * (1 - m01))
+                    imwrite(sr01, out_path / f"{f.stem}.png")
 
-            list(pool.map(write_one, enumerate(group)))
-            with lock:
-                state["px"] += arr.shape[0] * arr.shape[1] * arr.shape[2]
-                state["done"] += len(group)
-                done = state["done"]
-            print(f"[{done}/{len(files)}] batch of {len(group)}: "
-                  f"{arr.shape[2]}x{arr.shape[1]} "
-                  f"({time.perf_counter() - t_start:.2f}s elapsed)")
+                list(pool.map(write_one, enumerate(group)))
+                with lock:
+                    state["px"] += arr.shape[0] * arr.shape[1] * arr.shape[2]
+                    state["done"] += len(group)
+                    done = state["done"]
+                print(f"[{done}/{len(files)}] batch of {len(group)}: "
+                      f"{arr.shape[2]}x{arr.shape[1]} "
+                      f"({time.perf_counter() - t_start:.2f}s elapsed)")
 
-        writer.submit(write_job)
-    writer.close()
+            writer.submit(write_job)
     t_total = time.perf_counter() - t_start
 
     print(f"Done: {state['px'] / max(t_total, 1e-9) / 1e6:.3f} Mpx/s "

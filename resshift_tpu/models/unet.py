@@ -93,6 +93,7 @@ class UNetModelSwin(nn.Module):
         mask: jnp.ndarray | None = None,
         lq_feat: jnp.ndarray | None = None,
         features_only: bool = False,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         """`lq_feat` / `features_only`: the LQ conditioning features are
         timestep-invariant, so samplers compute them ONCE per call
@@ -146,7 +147,7 @@ class UNetModelSwin(nn.Module):
                     out_channels=int(mult * mc),
                     use_scale_shift_norm=self.use_scale_shift_norm,
                     dtype=self.dtype, name=f"in_l{level}_b{jj}_res",
-                )(h, emb)
+                )(h, emb, deterministic=deterministic)
                 ch = int(mult * mc)
                 if ds in self.attention_resolutions and jj == 0:
                     h = self._basic_layer(ch, ds, f"in_l{level}_b{jj}_swin")(h)
@@ -157,7 +158,7 @@ class UNetModelSwin(nn.Module):
                         channels=ch, emb_channels=ted, dropout=self.dropout,
                         out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm,
                         down=True, dtype=self.dtype, name=f"in_l{level}_down",
-                    )(h, emb)
+                    )(h, emb, deterministic=deterministic)
                 else:
                     h = Downsample(ch, self.conv_resample, out_channels=ch,
                                    dtype=self.dtype, name=f"in_l{level}_down")(h)
@@ -167,11 +168,11 @@ class UNetModelSwin(nn.Module):
         # ---- middle ----
         h = ResBlock(channels=ch, emb_channels=ted, dropout=self.dropout,
                      use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=self.dtype, name="mid_res0")(h, emb)
+                     dtype=self.dtype, name="mid_res0")(h, emb, deterministic=deterministic)
         h = self._basic_layer(ch, ds, "mid_swin")(h)
         h = ResBlock(channels=ch, emb_channels=ted, dropout=self.dropout,
                      use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=self.dtype, name="mid_res1")(h, emb)
+                     dtype=self.dtype, name="mid_res1")(h, emb, deterministic=deterministic)
 
         # ---- decoder ----
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -183,7 +184,7 @@ class UNetModelSwin(nn.Module):
                     dropout=self.dropout, out_channels=int(mult * mc),
                     use_scale_shift_norm=self.use_scale_shift_norm,
                     dtype=self.dtype, name=f"out_l{level}_b{i}_res",
-                )(h, emb)
+                )(h, emb, deterministic=deterministic)
                 ch = int(mult * mc)
                 if ds in self.attention_resolutions and i == 0:
                     h = self._basic_layer(ch, ds, f"out_l{level}_b{i}_swin")(h)
@@ -194,7 +195,7 @@ class UNetModelSwin(nn.Module):
                             out_channels=ch,
                             use_scale_shift_norm=self.use_scale_shift_norm,
                             up=True, dtype=self.dtype, name=f"out_l{level}_up",
-                        )(h, emb)
+                        )(h, emb, deterministic=deterministic)
                     else:
                         h = Upsample(ch, self.conv_resample, out_channels=ch,
                                      dtype=self.dtype, name=f"out_l{level}_up")(h)

@@ -121,6 +121,13 @@ class Trainer:
             weight_decay=float(tcfg_raw.get("weight_decay", 0.0)),
             ema_rate=float(tcfg_raw.get("ema_rate", 0.999)),
             microbatch=tcfg_raw.get("microbatch"),
+            # WEIGHTED_MSE selector: the reference reads it from the
+            # diffusion params block (script_util.py:17,50; every shipped
+            # config sets `weighted_mse: False`); accept it there or under
+            # `train:` for convenience
+            weighted_mse=bool(tcfg_raw.get(
+                "weighted_mse",
+                (config.get("diffusion") or {}).get("weighted_mse", False))),
             loss_coef=tuple(tcfg_raw.get("loss_coef", (1.0, 1.0))),
         )
         self.batch = int(tcfg_raw.get("batch", [16, 8])[0]

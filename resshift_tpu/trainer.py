@@ -112,8 +112,13 @@ def make_train_step(
     # auto).  Same param tree, so state/checkpoints are unaffected.
     train_unet = pipe.unet.clone(use_pallas=False)
 
+    # active dropout needs an rng stream + deterministic=False on the
+    # train-path apply (reference ResBlock dropout, unet.py:110-206;
+    # all shipped configs use dropout 0, where this stays a no-op)
+    use_dropout = float(getattr(pipe.unet, "dropout", 0.0)) > 0.0
+
     def loss_fn(unet_params, vq_params, batch, key):
-        kt, kn = jax.random.split(key)
+        kt, kn, kd = jax.random.split(key, 3)
         gt, lq = batch["gt"], batch["lq"]
         b = gt.shape[0]
         # frozen first stage (trainer.py:455-469): no grads into the VQGAN
@@ -129,6 +134,10 @@ def make_train_step(
             model_kwargs["mask"] = batch["mask"]
 
         def model_fn(x, t_orig, **kw):
+            if use_dropout:
+                return train_unet.apply({"params": unet_params}, x, t_orig,
+                                        deterministic=False,
+                                        rngs={"dropout": kd}, **kw)
             return train_unet.apply({"params": unet_params}, x, t_orig, **kw)
 
         mse, z_t, pred_z0 = rs.training_losses(

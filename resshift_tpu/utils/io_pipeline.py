@@ -45,20 +45,27 @@ def prefetch(it: Iterable, depth: int = 2) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
+    def put_stoppable(item) -> bool:
+        # Every producer-side put must stay abortable: if the consumer
+        # abandons the generator while the bounded queue is full (normal
+        # steady state), an unconditional q.put would deadlock against the
+        # consumer's t.join() in the finally block below.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_stoppable(item):
                     return
-            q.put(_SENTINEL)
+            put_stoppable(_SENTINEL)
         except BaseException as e:  # re-raised on the consumer side
-            q.put(e)
+            put_stoppable(e)
 
     t = threading.Thread(target=run, name="io-prefetch", daemon=True)
     t.start()
@@ -89,6 +96,8 @@ class AsyncWriter:
     def __init__(self, depth: int = 2, encode_threads: int = 8):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: BaseException | None = None
+        self._err_lock = threading.Lock()
+        self._failed = False  # sticky: once set, later jobs drain without running
         self._pool = ThreadPoolExecutor(max_workers=encode_threads,
                                         thread_name_prefix="png-encode")
         self._thread = threading.Thread(target=self._run, name="io-writer",
@@ -100,16 +109,21 @@ class AsyncWriter:
             fn = self._q.get()
             if fn is _SENTINEL:
                 return
-            if self._err is not None:
+            with self._err_lock:
+                failed = self._failed
+            if failed:
                 continue  # drain the queue after a failure
             try:
                 fn(self._pool)
             except BaseException as e:
-                self._err = e
+                with self._err_lock:
+                    self._failed = True
+                    self._err = e
 
     def _check(self):
-        if self._err is not None:
+        with self._err_lock:
             err, self._err = self._err, None
+        if err is not None:
             raise err
 
     def submit(self, fn: Callable) -> None:

@@ -59,6 +59,28 @@ def test_prefetch_early_abandonment_does_not_hang():
     it.close()  # generator close() must unblock + join the producer thread
 
 
+def test_prefetch_early_abandonment_with_finished_producer_does_not_hang():
+    # ADVICE r2 (medium): the producer finishes iterating with the bounded
+    # queue full, then the consumer abandons early — the sentinel put must be
+    # stop-aware or close() deadlocks against the producer's final q.put.
+    it = prefetch(iter(range(2)), depth=1)
+    assert next(it) == 0
+    time.sleep(0.2)  # let the producer reach its final (queue-full) put
+    it.close()  # must return promptly
+
+
+def test_prefetch_early_abandonment_with_failed_producer_does_not_hang():
+    def gen():
+        yield 0
+        yield 1
+        raise RuntimeError("reader failed late")
+
+    it = prefetch(gen(), depth=1)
+    assert next(it) == 0
+    time.sleep(0.2)  # producer now blocked putting the exception
+    it.close()  # must return promptly
+
+
 def test_async_writer_runs_jobs_in_order():
     seen = []
     with AsyncWriter(depth=2, encode_threads=2) as w:
@@ -99,6 +121,21 @@ def test_async_writer_error_reraises_on_next_submit():
             time.sleep(0.005)
             w.submit(lambda pool: None)
     w.close()  # error already consumed; close is clean
+
+
+def test_async_writer_failure_is_sticky():
+    # ADVICE r2 (low): after a job fails, jobs submitted even *after* the
+    # error has been raised to the caller must still drain without running.
+    w = AsyncWriter(depth=4)
+    ran = []
+    w.submit(lambda pool: (_ for _ in ()).throw(ValueError("boom")))
+    with pytest.raises(ValueError, match="boom"):
+        for _ in range(100):
+            time.sleep(0.005)
+            w.submit(lambda pool: ran.append(1))
+    w.submit(lambda pool: ran.append(2))  # post-error job: must not execute
+    w.close()
+    assert 2 not in ran
 
 
 def test_async_writer_body_exception_prefers_body_error():
