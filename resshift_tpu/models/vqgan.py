@@ -299,10 +299,11 @@ class VectorQuantizer(nn.Module):
 
     n_e: int = 8192
     e_dim: int = 3
+    beta: float = 0.25  # commitment weight (quantize.py:222, legacy=True)
     use_pallas: bool | None = None  # None = auto (TPU); False = XLA argmin
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, return_loss: bool = False):
         emb = self.param(
             "embedding",
             nn.initializers.uniform(scale=2.0 / self.n_e),  # ~U(-1/n, 1/n) after shift
@@ -319,9 +320,19 @@ class VectorQuantizer(nn.Module):
             idx = nearest_codebook_indices_xla(flat, emb)
         else:
             idx = nearest_codebook_indices(flat, emb)
-        z_q = emb[idx].reshape(zf.shape)
+        z_q_raw = emb[idx].reshape(zf.shape)  # grads flow into the codebook
         # straight-through estimator
-        z_q = zf + jax.lax.stop_gradient(z_q - zf)
+        z_q = zf + jax.lax.stop_gradient(z_q_raw - zf)
+        if return_loss:
+            # VQ-VAE loss, legacy form (quantize.py:293-295): codebook term
+            # pulls selected codes toward the (frozen) encoder output, the
+            # beta-weighted commitment term pulls the encoder toward the
+            # (frozen) codes.  Needed only for AE pretraining — the shipped
+            # diffusion configs use a frozen, already-trained first stage.
+            loss = (jnp.mean((jax.lax.stop_gradient(zf) - z_q_raw) ** 2)
+                    + self.beta * jnp.mean(
+                        (jax.lax.stop_gradient(z_q_raw) - zf) ** 2))
+            return z_q.astype(z.dtype), loss
         return z_q.astype(z.dtype)
 
 
@@ -422,3 +433,14 @@ class VQModel(nn.Module):
 
     def __call__(self, x: jnp.ndarray, force_not_quantize: bool = False) -> jnp.ndarray:
         return self.decode(self.encode(x), force_not_quantize)
+
+    def training_recon(self, x: jnp.ndarray):
+        """Full autoencode with the VQ training loss terms: returns
+        (reconstruction, vq_loss).  Used by `tools/vqgan_pretrain.py` to fit
+        a first stage from scratch (the reference ships pretrained LDM
+        weights and has no AE training code; the loss matches the taming/LDM
+        recipe its checkpoints were trained with, quantize.py:290-298)."""
+        h = self.encode(x)
+        quant, vq_loss = self.quantize(h, return_loss=True)
+        recon = self.decoder(self.post_quant_conv(quant))
+        return recon, vq_loss

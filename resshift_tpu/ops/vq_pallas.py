@@ -64,6 +64,40 @@ def _kernel(z_ref, embt_ref, e2_ref, idx_ref):
     idx_ref[:, 0] = jnp.argmin(s, axis=1).astype(jnp.int32)
 
 
+@jax.custom_vjp
+def _nearest_pallas(zf: jnp.ndarray, embt: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
+    tb = 256 if embt.shape[1] >= 4096 else 512
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((zf.shape[0], 1), jnp.int32),
+        grid=(zf.shape[0] // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, zf.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(embt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(e2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(zf, embt, e2)
+
+
+def _nearest_fwd(zf, embt, e2):
+    return _nearest_pallas(zf, embt, e2), (zf.shape, embt.shape, e2.shape)
+
+
+def _nearest_bwd(shapes, g):
+    # argmin indices are piecewise-constant: zero cotangent everywhere.
+    # (Needed so the VQ-training path — codebook/commitment losses through
+    # `emb[idx]` — can differentiate past the Pallas search kernel; the
+    # useful gradients flow through the gather, not through the index op.)
+    del g
+    zs, es, e2s = shapes
+    return (jnp.zeros(zs, jnp.float32), jnp.zeros(es, jnp.float32),
+            jnp.zeros(e2s, jnp.float32))
+
+
+_nearest_pallas.defvjp(_nearest_fwd, _nearest_bwd)
+
+
 def nearest_codebook_indices(flat: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
     """flat: (M, D) rows; emb: (K, D) codebook -> (M,) int32 argmin indices.
 
@@ -82,16 +116,5 @@ def nearest_codebook_indices(flat: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray
         zf = jnp.concatenate([zf, jnp.zeros((pad, d), jnp.float32)], axis=0)
     embt = emb.astype(jnp.float32).T              # (D, K)
     e2 = jnp.sum(emb.astype(jnp.float32) ** 2, axis=1)[None]  # (1, K)
-
-    idx = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((zf.shape[0], 1), jnp.int32),
-        grid=(zf.shape[0] // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )(zf, embt, e2)
+    idx = _nearest_pallas(zf, embt, e2)
     return idx[:m, 0]
