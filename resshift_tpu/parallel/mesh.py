@@ -51,8 +51,17 @@ def maybe_init_distributed(force: bool = False) -> bool:
             return jax.process_count() > 1
     except AttributeError:  # older jax
         pass
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr and os.environ.get("JAX_NUM_PROCESSES"):
+        # generic rendezvous (non-TPU-pod clusters, and the multi-process
+        # CPU test harness): pass the env protocol explicitly — older jax
+        # cluster auto-detection does not read these three on bare hosts
+        kwargs = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         raise RuntimeError(
             "multi-host environment indicated but jax.distributed could not "

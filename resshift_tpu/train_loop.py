@@ -261,23 +261,66 @@ class Trainer:
         with ctx as stop_requested:
             return self._train_loop(stop_iter, stop_requested)
 
+    def _globalize_batch(self, batch: dict) -> dict:
+        """Multi-process: assemble each host's local batch into a global
+        jax.Array sharded on the mesh's `data` axis.  The loader already
+        shards the DATASET by process (DistributedSampler role); this is
+        the device-placement half — each host contributes its slice of the
+        global batch, XLA's SPMD partitioner sees one logical array."""
+        from jax.sharding import NamedSharding
+
+        from .parallel.mesh import P
+
+        n_proc = jax.process_count()
+        sh = NamedSharding(self.mesh, P("data"))
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            out[k] = jax.make_array_from_process_local_data(
+                sh, v, (v.shape[0] * n_proc,) + v.shape[1:])
+        return out
+
+    def _local_params(self, params):
+        """Fully-replicated global arrays -> host-local numpy, so rank-0-only
+        work (validation, image grids) can run outside the SPMD step."""
+        if jax.process_count() == 1:
+            return params
+        return jax.tree_util.tree_map(np.asarray, params)
+
     def _train_loop(self, stop_iter, stop_requested):
         log_path = self.save_dir / "train_log.jsonl"
         it = self.start_iter
         end = self.tcfg.iterations if stop_iter is None else min(
             stop_iter, self.tcfg.iterations)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # SPMD inputs must be identical on every process (the jitted
+            # step is one logical program); host-local committed arrays are
+            # rejected — hand numpy over and let in_shardings place it
+            self.state = jax.tree_util.tree_map(np.asarray, self.state)
         # fast-forward the deterministic index stream on resume so the
         # continuation sees the same batches an uninterrupted run would
         data_iter = self.loader.infinite(skip_batches=self.start_iter)
         t0 = time.time()
         while it < end:
             raw = next(data_iter)
+            # host-side key (degradation pipeline): per-process stream, the
+            # reference's rank-offset seeding (trainer.py:66-79)
             key = iteration_key(self.seed, it, jax.process_index())
-            batch = self.prepare_batch(raw, jax.random.fold_in(key, 1))
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # device-side key: must be IDENTICAL on every process — the
+            # jitted step is one SPMD program and draws per-sample noise
+            # for the GLOBAL batch from this one key; per-sample diversity
+            # comes from the batch axis, not from per-rank keys
+            dev_key = jax.random.fold_in(iteration_key(self.seed, it, 0), 2)
+            local_batch = self.prepare_batch(raw, jax.random.fold_in(key, 1))
+            if n_proc > 1:
+                batch = self._globalize_batch(local_batch)
+                dev_key = np.asarray(dev_key)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in local_batch.items()}
             with self.mesh:
                 self.state, metrics = self._compiled_step(batch)(
-                    self.state, self.vq_params, batch, jax.random.fold_in(key, 2))
+                    self.state, self.vq_params, batch, dev_key)
             it += 1
             if self.rank0 and it % int(self.log_freq[0]) == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -289,19 +332,27 @@ class Trainer:
                       " ".join(f"{k}={v:.4g}" for k, v in m.items() if k != "iter"),
                       flush=True)
             if self.rank0 and len(self.log_freq) > 1 and it % int(self.log_freq[1]) == 0:
-                self.log_train_images(it, batch, jax.random.fold_in(key, 3))
+                # the host-LOCAL batch: image grids slice on host, which a
+                # multi-process-sharded global array cannot do
+                self.log_train_images(
+                    it, {k: jnp.asarray(v) for k, v in local_batch.items()},
+                    jax.random.fold_in(key, 3))
             if it % self.val_freq == 0 and self.val_cfg and self.rank0:
                 self.validate(it)
-            if it % self.save_freq == 0 and self.rank0:
+            # orbax saves are COLLECTIVE in multi-process runs (every host
+            # writes its addressable shards + process 0 the metadata), so
+            # the save call itself is not rank-gated — only the print is
+            if it % self.save_freq == 0 and (self.rank0 or n_proc > 1):
                 self.save(it, block=False)
             if stop_requested():
-                if self.rank0:
+                if self.rank0 or n_proc > 1:
                     self.save(it)
+                if self.rank0:
                     print(f"[signal] stopped cleanly at step {it}; resume "
                           f"from {self.save_dir / 'ckpts'}/step_{it:08d}",
                           flush=True)
                 return self.state
-        if self.rank0:
+        if self.rank0 or n_proc > 1:
             self.save(it)
         return self.state
 
@@ -346,7 +397,8 @@ class Trainer:
 
             self._jviz = jax.jit(viz)
 
-        x_t, x0p = self._jviz(self.state.params, self.vq_params, sub, key)
+        x_t, x0p = self._jviz(self._local_params(self.state.params),
+                              self._local_params(self.vq_params), sub, key)
         for name, im in (("lq", sub["lq"]), ("gt", sub["gt"]),
                          ("xt", x_t), ("x0pred", x0p)):
             grid = make_grid(from_model(np.asarray(im)), ncol=max_n)
@@ -373,9 +425,9 @@ class Trainer:
             raw = dict(self.config.get("train", {})).get("val_max_images")
             max_images = int(raw) if raw else None
         ds = create_dataset(self.val_cfg)
-        params = {"unet": self.state.ema_params}
+        params = {"unet": self._local_params(self.state.ema_params)}
         if self.vq_params is not None:
-            params["vqgan"] = self.vq_params
+            params["vqgan"] = self._local_params(self.vq_params)
         psnr = ssim = lpips_sum = 0.0
         n = 0
         key = jax.random.PRNGKey(0)
@@ -457,8 +509,9 @@ class Trainer:
         self._saver.save(self.save_dir / "ckpts", self.state, step=it)
         if block:
             self._saver.wait()
-        print(f"[ckpt] {'saved' if block else 'saving (async)'} step {it}",
-              flush=True)
+        if self.rank0:
+            print(f"[ckpt] {'saved' if block else 'saving (async)'} step {it}",
+                  flush=True)
 
     def resume(self, path: str):
         self.state = restore_train_state(path, self.state)
