@@ -155,11 +155,11 @@ def cmd_infer(args):
                     ms.append(to_model(imread(mf, chn="gray")))
                 mask = np.concatenate(ms, axis=0)
             k = jax.random.fold_in(key, n_done)
-            if getattr(args, "tensor_parallel", False) and n_dev > 1 \
-                    and lq.shape[1] <= pipe.chop_size and lq.shape[2] <= pipe.chop_size:
+            if getattr(args, "tensor_parallel", False) and n_dev > 1:
                 # model weights sharded over all local chips (parallel/tp.py):
                 # batch-1 latency scaling — every chip computes a channel/head
-                # shard of each layer, collectives on ICI
+                # shard of each layer, collectives on ICI; over-chop inputs
+                # run their tile grid through the same TP mesh
                 from jax.sharding import Mesh
 
                 tp_mesh = Mesh(np.array(jax.devices()), ("model",))

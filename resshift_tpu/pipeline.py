@@ -261,6 +261,9 @@ class ResShiftPipeline:
             tiles = grid.split(lq)  # (T*B, th, tw, C)
             mtiles = grid.split(mask) if mask is not None else None
             t_total = grid.num_tiles * b
+            # never batch more tiles than exist (also keeps the wrap-around
+            # pad below valid: pad_t < tile_bs <= t_total)
+            tile_bs = max(1, min(int(tile_bs), t_total))
             n_chunks = math.ceil(t_total / tile_bs)
             pad_t = n_chunks * tile_bs - t_total
             if pad_t:
@@ -392,7 +395,8 @@ class ResShiftPipeline:
         return tp
 
     def sample_tp(self, params, lq, key, mesh, mask=None, *,
-                  noise_repeat=False):
+                  noise_repeat=False, chop_size: int | None = None,
+                  chop_stride: int | None = None):
         """Tensor-parallel sampler: model weights sharded over the mesh's
         `model` axis (parallel/tp.py layout), optionally combined with batch
         sharding over a `data` axis (2-D DP x TP mesh).
@@ -401,8 +405,12 @@ class ResShiftPipeline:
         single image's denoising chain runs with every chip computing a
         channel/feature shard of each layer, collectives riding ICI —
         versus `sample_batch_sharded`/`sample_tiles_sharded`, which scale
-        THROUGHPUT but leave one request at single-chip latency.  Input
-        must fit one tile (no chopping), like `sample_time_parallel`.
+        THROUGHPUT but leave one request at single-chip latency.
+
+        Inputs larger than `chop_size` are chopped (ImageSpliterTh role,
+        sampler.py:186-208): the tile grid is walked in chunks of
+        `data`-axis size, each chunk's tiles computed tensor-parallel —
+        chopped RealSet-style inputs keep the TP latency benefit per tile.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -411,29 +419,94 @@ class ResShiftPipeline:
         axes = dict(zip(mesh.axis_names, mesh.devices.shape))
         if "model" not in axes:
             raise ValueError("sample_tp needs a mesh axis named 'model'")
+        chop_size = chop_size or self.chop_size
+        chop_stride = chop_stride or self.chop_stride
         params = tpmod.shard_params(params, mesh)
         n_data = axes.get("data", 1)
-        b = lq.shape[0]
-        pad = (-b) % n_data
-        if pad:
-            lq = jnp.concatenate([lq, jnp.repeat(lq[-1:], pad, axis=0)], axis=0)
-            if mask is not None:
-                mask = jnp.concatenate(
-                    [mask, jnp.repeat(mask[-1:], pad, axis=0)], axis=0)
+        b, h, w, c = lq.shape
         bspec = P("data") if n_data > 1 else P()
-        lq = jax.device_put(lq, NamedSharding(mesh, bspec))
-        if mask is not None:
-            mask = jax.device_put(mask, NamedSharding(mesh, bspec))
-        sig = ("tp", lq.shape, None if mask is None else mask.shape,
-               bool(noise_repeat), tuple(sorted(axes.items())))
+
+        if h <= chop_size and w <= chop_size:
+            pad = (-b) % n_data
+            if pad:
+                lq = jnp.concatenate([lq, jnp.repeat(lq[-1:], pad, axis=0)], axis=0)
+                if mask is not None:
+                    mask = jnp.concatenate(
+                        [mask, jnp.repeat(mask[-1:], pad, axis=0)], axis=0)
+            lq = jax.device_put(lq, NamedSharding(mesh, bspec))
+            if mask is not None:
+                mask = jax.device_put(mask, NamedSharding(mesh, bspec))
+            sig = ("tp", lq.shape, None if mask is None else mask.shape,
+                   bool(noise_repeat), tuple(sorted(axes.items())))
+            if sig not in self._jit_cache:
+                tpp = self._tp_clone()
+                self._jit_cache[sig] = jax.jit(
+                    lambda p, x, k, m: tpp._sample_tile(p, x, k, m, noise_repeat),
+                    out_shardings=NamedSharding(mesh, bspec))
+            with mesh:
+                out = self._jit_cache[sig](params, lq, key, mask)
+            return out[:b]
+
+        # ---- chopped TP path ----
+        offset = self.padding_offset
+        ph = math.ceil(h / offset) * offset - h
+        pw = math.ceil(w / offset) * offset - w
+        sig = ("tp-chop", lq.shape, None if mask is None else mask.shape,
+               bool(noise_repeat), chop_size, chop_stride,
+               tuple(sorted(axes.items())))
         if sig not in self._jit_cache:
             tpp = self._tp_clone()
-            self._jit_cache[sig] = jax.jit(
-                lambda p, x, k, m: tpp._sample_tile(p, x, k, m, noise_repeat),
-                out_shardings=NamedSharding(mesh, bspec))
+            grid = TileGrid(h + ph, w + pw, chop_size, chop_stride, sf=self.sf)
+
+            def fn(params, lq, mask, key):
+                if ph or pw:
+                    lq = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="reflect")
+                    if mask is not None:
+                        mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                       mode="reflect")
+                tiles = grid.split(lq)
+                mtiles = grid.split(mask) if mask is not None else None
+                t_total = tiles.shape[0]
+                pad_t = (-t_total) % n_data
+                if pad_t:  # wrap-around pad (valid even when n_data > tiles)
+                    idx = jnp.arange(t_total + pad_t) % t_total
+                    tiles = tiles[idx]
+                    if mtiles is not None:
+                        mtiles = mtiles[idx]
+                th, tw = grid.tile_hw
+                n_chunks = tiles.shape[0] // n_data
+                tiles = tiles.reshape(n_chunks, n_data, th, tw, c)
+                keys = jax.random.split(key, n_chunks)
+                shd = NamedSharding(mesh, bspec)
+
+                if mtiles is not None:
+                    mtiles = mtiles.reshape(n_chunks, n_data, th, tw,
+                                            mtiles.shape[-1])
+
+                    def body(args):
+                        tl, mk, k = args
+                        tl = jax.lax.with_sharding_constraint(tl, shd)
+                        return tpp._sample_tile(params, tl, k, mk, noise_repeat)
+
+                    outs = jax.lax.map(body, (tiles, mtiles, keys))
+                else:
+
+                    def body(args):
+                        tl, k = args
+                        tl = jax.lax.with_sharding_constraint(tl, shd)
+                        return tpp._sample_tile(params, tl, k, None, noise_repeat)
+
+                    outs = jax.lax.map(body, (tiles, keys))
+                outs = outs.reshape(n_chunks * n_data, th * self.sf,
+                                    tw * self.sf, c)
+                if pad_t:
+                    outs = outs[:t_total]
+                return grid.gather(outs, b)[:, :h * self.sf, :w * self.sf, :]
+
+            self._jit_cache[sig] = jax.jit(fn)
         with mesh:
-            out = self._jit_cache[sig](params, lq, key, mask)
-        return out[:b]
+            return self._jit_cache[sig](params, lq, mask, key)
 
     def sample_tiles_sharded(self, params, lq, key, mesh, mask=None, *,
                              chop_size: int | None = None,

@@ -102,7 +102,8 @@ def bicubic_baseline(data: Path):
 
 
 def proof_config(data: Path, iters: int, use_lpips: bool = False,
-                 batch: int = 16, kappa: float = 1.0):
+                 batch: int = 16, kappa: float = 1.0,
+                 lpips_path: str | None = None):
     cfg = dict(
         task="train_proof", sf=1,
         model=dict(
@@ -141,6 +142,8 @@ def proof_config(data: Path, iters: int, use_lpips: bool = False,
     if use_lpips:
         cfg["trainer"] = "difir_lpips"
         cfg["train"]["loss_coef"] = [1.0, 0.2]
+        if lpips_path:  # real converted VGG weights (RUNBOOK step 3)
+            cfg["train"]["lpips_path"] = lpips_path
     return cfg
 
 
@@ -169,6 +172,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-lpips", action="store_true")
     ap.add_argument("--skip-resume", action="store_true")
+    ap.add_argument("--lpips-path", default=None,
+                    help="converted LPIPS(vgg) weights for the difir_lpips "
+                         "leg (RUNBOOK step 3; default: random weights, "
+                         "wiring-proof only)")
     args = ap.parse_args()
 
     import jax
@@ -253,7 +260,8 @@ def main():
     # ---- LPIPS trainer variant (wiring proof) ----
     if not args.skip_lpips:
         it_l = max(args.iters // 6, 100)
-        cfg_l = proof_config(data, it_l, use_lpips=True, kappa=args.kappa)
+        cfg_l = proof_config(data, it_l, use_lpips=True, kappa=args.kappa,
+                             lpips_path=args.lpips_path)
         cfg_l["train"]["val_freq"] = 10 ** 9
         tr_l = Trainer(cfg_l, save_dir=str(out / "run_lpips"), seed=args.seed,
                        dtype=jnp.bfloat16)
