@@ -26,6 +26,39 @@ import jax.numpy as jnp
 Dtype = jnp.dtype
 
 
+def group_norm_fold(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                    num_groups: int = 32, eps: float = 1e-5):
+    """Per-(image, channel) folded GroupNorm affine: returns f32 (B, C)
+    `w, b` with `normalized = x*w + b`.  Float32 statistics regardless of
+    compute dtype (reference basic_ops.py:15-17).
+
+    TPU-layout-friendly: reduce into (B, C) keeping C on the lane dimension,
+    then a tiny (C, G) one-hot matmul sums channels within each group — no
+    (…, G, C/G) reshape, which would put C/G (often 6-20) on lanes and
+    force relayout copies.  Shared by GroupNorm32 and the fused
+    norm+silu+conv tail kernel (ops/tail_pallas.py).
+    """
+    c = x.shape[-1]
+    g = min(num_groups, c)
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+    shape = x.shape
+    spatial = tuple(range(1, x.ndim - 1))
+    n_per_group = (c // g) * int(np.prod([shape[i] for i in spatial])) if spatial else c // g
+    onehot = jnp.asarray(np.repeat(np.eye(g, dtype=np.float32), c // g, axis=0))  # (C, G)
+    xf32sum = jnp.sum(x.astype(jnp.float32), axis=spatial)            # (B, C)
+    xf32sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial)  # (B, C)
+    sum_g = xf32sum @ onehot   # (B, G)
+    sq_g = xf32sq @ onehot
+    mean_g = sum_g / n_per_group
+    var_g = jnp.maximum(sq_g / n_per_group - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ onehot.T  # (B, C)
+    inv_c = inv_g @ onehot.T
+    w = inv_c * scale[None].astype(jnp.float32)
+    b = bias[None].astype(jnp.float32) - mean_c * w
+    return w, b
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) with float32 statistics regardless of compute dtype."""
 
@@ -35,35 +68,25 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        g = min(self.num_groups, c)
-        assert c % g == 0, f"channels {c} not divisible by groups {g}"
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         orig_dtype = x.dtype
-        shape = x.shape
+        w, b = group_norm_fold(x, scale, bias, self.num_groups, self.eps)
         spatial = tuple(range(1, x.ndim - 1))
-        n_per_group = (c // g) * int(np.prod([shape[i] for i in spatial])) if spatial else c // g
-
-        # TPU-layout-friendly group statistics: reducing into (B, C) keeps C
-        # on the lane dimension, then a tiny (C, G) one-hot matmul sums
-        # channels within each group — no (…, G, C/G) reshape, which would
-        # put C/G (often 6-20) on lanes and force relayout copies.
-        onehot = jnp.asarray(np.repeat(np.eye(g, dtype=np.float32), c // g, axis=0))  # (C, G)
-        xf32sum = jnp.sum(x.astype(jnp.float32), axis=spatial)            # (B, C)
-        xf32sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial)  # (B, C)
-        sum_g = xf32sum @ onehot   # (B, G)
-        sq_g = xf32sq @ onehot
-        mean_g = sum_g / n_per_group
-        var_g = jnp.maximum(sq_g / n_per_group - mean_g * mean_g, 0.0)
-        inv_g = jax.lax.rsqrt(var_g + self.eps)
-        # broadcast group stats back to channels and fold the affine in
-        mean_c = mean_g @ onehot.T  # (B, C)
-        inv_c = inv_g @ onehot.T
-        w = inv_c * scale[None]
-        b = bias[None] - mean_c * w
         expand = (slice(None),) + (None,) * len(spatial) + (slice(None),)
         out = x.astype(jnp.float32) * w[expand] + b[expand]
         return out.astype(orig_dtype)
+
+
+class _GroupNormParams(nn.Module):
+    """Parameter holder matching GroupNorm32's {scale, bias} tree, for paths
+    that consume the norm through a fused op (ops/tail_pallas.py)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        return scale, bias
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:

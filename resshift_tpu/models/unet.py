@@ -202,9 +202,15 @@ class UNetModelSwin(nn.Module):
                     ds *= 2
 
         # ---- head (kept in the input dtype like the reference :893-895) ----
+        # out_norm -> silu -> out_conv(C -> 3) through ops/tail_pallas.py —
+        # the XLA composition by default (the fused kernel measured slower;
+        # PERF.md ledger), the Pallas kernel only when use_pallas is pinned
+        # True; same param names, so checkpoints are unchanged
+        from ..ops.tail_pallas import gn_silu_conv3x3
+        from .layers import _Conv3x3Params, _GroupNormParams
+
         h = h.astype(in_dtype)
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
-                    name="out_conv")(h)
-        return h
+        n_scale, n_bias = _GroupNormParams(name="out_norm")(h.shape[-1])
+        ck, cb = _Conv3x3Params(self.out_channels, name="out_conv")(h.shape[-1])
+        return gn_silu_conv3x3(h.astype(jnp.float32), n_scale, n_bias, ck, cb,
+                               eps=1e-5, use_pallas=self.use_pallas)

@@ -288,9 +288,18 @@ class Decoder(nn.Module):
                              name=f"up{i_level}_upsample")(h)
                 curr_res *= 2
 
-        h = _norm("norm_out")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        # tail: norm_out -> silu -> conv_out(C -> 3) through
+        # ops/tail_pallas.py — the XLA composition by default (the fused
+        # kernel measured slower; PERF.md ledger), the Pallas kernel only
+        # when use_pallas is pinned True; params keep the standard names so
+        # checkpoints are unchanged
+        from ..ops.tail_pallas import gn_silu_conv3x3
+        from .layers import _Conv3x3Params, _GroupNormParams
+
+        n_scale, n_bias = _GroupNormParams(name="norm_out")(h.shape[-1])
+        ck, cb = _Conv3x3Params(self.out_ch, name="conv_out")(h.shape[-1])
+        h = gn_silu_conv3x3(h, n_scale, n_bias, ck, cb, eps=1e-6,
+                            use_pallas=self.use_pallas)
         return jnp.tanh(h) if self.tanh_out else h
 
 
