@@ -195,13 +195,16 @@ def sample_loop(
     model_kwargs: dict[str, Any] | None = None,
     noise_repeat: bool = False,
     step_noise: jnp.ndarray | None = None,
+    unroll: int = 1,
 ):
     """Full reverse chain as one `lax.scan` over t = T-1 .. 0.
 
     `z_y` is the (latent) encoded LQ; returns the final latent x_0 sample.
     Replaces the reference's host loop (gaussian_diffusion.py:421-472).
     `step_noise` (T, B, ...) optionally fixes the per-step Gaussian draws —
-    used for bit-comparability tests against the reference.
+    used for bit-comparability tests against the reference.  `unroll`
+    forwards to `lax.scan` (lets XLA schedule across consecutive denoising
+    steps; identical math, larger program).
     """
     key, prior_key = jax.random.split(key)
     if noise is None:
@@ -230,7 +233,7 @@ def sample_loop(
         return x_next, ()
 
     xs = (ts, step_keys) if step_noise is None else (ts, step_noise)
-    x0, _ = jax.lax.scan(step, x_T, xs)
+    x0, _ = jax.lax.scan(step, x_T, xs, unroll=unroll)
     return x0
 
 

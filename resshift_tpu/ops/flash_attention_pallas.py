@@ -11,6 +11,15 @@ VMEM, so scores never touch HBM.
 K/V stream from HBM through VMEM as (bk, C) pipeline blocks, so the token
 count is unbounded — the 512-px chopped-inference path (N=262144 latent
 tokens) runs through the same kernel.
+
+The softmax uses the same constant-shift range guard as the swin block
+kernels (`swin_block_pallas._SOFTMAX_SHIFT`) instead of the running
+row-max: `exp(s - SHIFT)` accumulated directly, normalizer summed on the
+side, one divide at the end.  Exactly softmax-equivalent while scores stay
+in (-58, 118) — these are GN-bounded conv1x1 projections, same bound
+argument as the swin scores (±~50 in practice).  Dropping the running max
+removes a full (BQ, BK) VPU reduce, a (BQ, 1) exp, and two rescale
+passes over the (BQ, C) accumulator per K-chunk.
 """
 
 from __future__ import annotations
@@ -44,9 +53,14 @@ def flash_available(n: int, c: int) -> bool:
     return pallas_available() and n % bq == 0 and n % bk == 0
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk: int):
-    """Grid (B, NQ, NK): K-chunks stream as pipelined blocks; the online-
-    softmax state (m, l, acc) lives in VMEM scratch across the NK steps."""
+_SOFTMAX_SHIFT = 30.0  # constant exp-range guard replacing the row-max
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr, *, nk: int):
+    """Grid (B, NQ, NK): K-chunks stream as pipelined blocks; the softmax
+    normalizer + output accumulator live in VMEM scratch across NK steps.
+    `exp(s - SHIFT)/sum exp(s - SHIFT) == softmax(s)` exactly (see module
+    docstring for the score-range argument), so no running max / rescale."""
     j = pl.program_id(2)
     q = q_ref[0]  # (BQ, C)
     c = q.shape[-1]
@@ -54,7 +68,6 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk: int):
 
     @pl.when(j == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, -1e30)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -64,13 +77,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk: int):
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (BQ, BK)
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    m_scr[:] = m_new
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+    p = jnp.exp(s - _SOFTMAX_SHIFT)
+    l_scr[:] = l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -99,7 +108,6 @@ def flash_attention_1h(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
         ],
         out_specs=pl.BlockSpec((1, bq, c), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, c), jnp.float32),
         ],

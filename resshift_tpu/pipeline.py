@@ -64,6 +64,10 @@ class ResShiftPipeline:
         self.unet = UNetModelSwin(dtype=dtype, **m)
         self.cond_lq = m.get("cond_lq", True)
         self.cond_mask = m.get("cond_mask", False)
+        # lax.scan unroll for the denoising loop (identical math; >1 lets
+        # XLA schedule across steps — measured in tools/profile_unroll.py).
+        # Part of any jit cache key via the traced sampler closure.
+        self.scan_unroll = 1
         ae = config.get("autoencoder")
         if ae is not None and use_autoencoder:
             # quant_vqgan='int8': EXPERIMENTAL quantized conv backbones
@@ -235,7 +239,7 @@ class ResShiftPipeline:
         z0 = rs.sample_loop(
             self.sched, model_fn, z_y, key, noise=noise,
             clip_denoised=(self.vq is None), model_kwargs=model_kwargs,
-            noise_repeat=noise_repeat,
+            noise_repeat=noise_repeat, unroll=self.scan_unroll,
         )
         img = self._decode(params.get("vqgan"), z0)
         return jnp.clip(img, -1.0, 1.0)

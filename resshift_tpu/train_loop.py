@@ -129,6 +129,8 @@ class Trainer:
                 "weighted_mse",
                 (config.get("diffusion") or {}).get("weighted_mse", False))),
             loss_coef=tuple(tcfg_raw.get("loss_coef", (1.0, 1.0))),
+            # activation rematerialization: train.remat: dots|full|null
+            remat=tcfg_raw.get("remat"),
         )
         self.batch = int(tcfg_raw.get("batch", [16, 8])[0]
                          if isinstance(tcfg_raw.get("batch"), (list, tuple))

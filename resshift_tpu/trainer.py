@@ -44,6 +44,15 @@ class TrainConfig:
     microbatch: int | None = None  # per-device microbatch; None = no accumulation
     weighted_mse: bool = False
     loss_coef: tuple[float, float] = (1.0, 1.0)  # (mse, lpips)
+    # Rematerialization (jax.checkpoint) on the denoiser apply: trades
+    # recompute FLOPs for activation HBM, buying per-chip batch/resolution
+    # headroom the reference gets from torch's checkpointing utilities.
+    #   None    — store all activations (fastest, most memory);
+    #   "dots"  — save matmul/conv outputs, recompute elementwise chains
+    #             (jax.checkpoint_policies.checkpoint_dots) — the usual
+    #             sweet spot: the f32 GN/SiLU chains dominate live memory;
+    #   "full"  — save nothing, recompute the whole forward in the bwd.
+    remat: str | None = None
 
 
 def lr_schedule_fn(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -117,6 +126,22 @@ def make_train_step(
     # all shipped configs use dropout 0, where this stays a no-op)
     use_dropout = float(getattr(pipe.unet, "dropout", 0.0)) > 0.0
 
+    def _apply(unet_params, x, t_orig, kd, kw):
+        extra = ({"deterministic": False, "rngs": {"dropout": kd}}
+                 if use_dropout else {})
+        return train_unet.apply({"params": unet_params}, x, t_orig,
+                                **extra, **kw)
+
+    if cfg.remat:
+        policies = {
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "full": jax.checkpoint_policies.nothing_saveable,
+        }
+        if cfg.remat not in policies:
+            raise ValueError(f"remat must be one of {sorted(policies)} or "
+                             f"null, got {cfg.remat!r}")
+        _apply = jax.checkpoint(_apply, policy=policies[cfg.remat])
+
     def loss_fn(unet_params, vq_params, batch, key):
         kt, kn, kd = jax.random.split(key, 3)
         gt, lq = batch["gt"], batch["lq"]
@@ -134,11 +159,7 @@ def make_train_step(
             model_kwargs["mask"] = batch["mask"]
 
         def model_fn(x, t_orig, **kw):
-            if use_dropout:
-                return train_unet.apply({"params": unet_params}, x, t_orig,
-                                        deterministic=False,
-                                        rngs={"dropout": kd}, **kw)
-            return train_unet.apply({"params": unet_params}, x, t_orig, **kw)
+            return _apply(unet_params, x, t_orig, kd, kw)
 
         mse, z_t, pred_z0 = rs.training_losses(
             sched, model_fn, z0, z_y, t, noise,

@@ -273,3 +273,48 @@ def test_dropout_active_in_training(tmp_path):
     a = pipe.sample(params, lq, jax.random.PRNGKey(0))
     b = pipe.sample(params, lq, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_semantics_preserving(tmp_path):
+    """`train.remat: dots|full` (jax.checkpoint on the denoiser apply)
+    trades recompute for activation memory WITHOUT changing the optimized
+    function: the same state/batch/key must produce the same updated
+    params to fp tolerance (the recompute re-runs the identical
+    computation)."""
+    from resshift_tpu.pipeline import ResShiftPipeline
+    from resshift_tpu.trainer import TrainConfig, create_state, make_train_step
+
+    cfg = tiny_train_config("bicubic")
+    pipe = ResShiftPipeline(cfg, dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "gt": jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3),
+                                 jnp.float32, -1.0, 1.0),
+        "lq": jax.random.uniform(jax.random.PRNGKey(2), (4, 16, 16, 3),
+                                 jnp.float32, -1.0, 1.0),
+    }
+    key = jax.random.PRNGKey(3)
+    out = {}
+    for remat in (None, "dots", "full"):
+        tcfg = TrainConfig(microbatch=2, warmup_iterations=1, iterations=10,
+                           remat=remat)
+        state = create_state(params["unet"], tcfg)
+        step = jax.jit(make_train_step(pipe, tcfg))
+        new_state, metrics = step(state, params["vqgan"], batch, key)
+        assert np.isfinite(float(metrics["loss"]))
+        out[remat] = new_state.params
+    for remat in ("dots", "full"):
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), out[None], out[remat])
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5, remat
+
+    # unknown policy rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(pipe, TrainConfig(remat="bogus"))
+
+    # YAML wiring reaches TrainConfig
+    cfg2 = tiny_train_config("bicubic", iterations=1)
+    cfg2["train"]["remat"] = "dots"
+    assert Trainer(cfg2, save_dir=str(tmp_path), seed=0).tcfg.remat == "dots"
