@@ -140,10 +140,14 @@ def _reference(x, gn_w, gn_b, kernel, cbias, act_bf16: bool):
     if act_bf16:
         af = af.astype(jnp.bfloat16)
         s = jax.nn.silu(af)
+        # bf16-out conv == f32-preferred accumulate + one round to bf16
+        # (verified bitwise), and unlike preferred_element_type=f32 it is
+        # differentiable: the transpose-RHS rule rebuilds a conv from the
+        # (output-dtype) cotangent, which must match the lhs dtype —
+        # mixed bf16/f32 there broke VQGAN *training* through this tail.
         y = jax.lax.conv_general_dilated(
             s, kernel.astype(jnp.bfloat16), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + cbias.astype(jnp.bfloat16)
     s = jax.nn.silu(af)
     y = jax.lax.conv_general_dilated(

@@ -107,3 +107,28 @@ def test_model_init_param_names_unchanged():
     assert set(p["norm_out"]) == {"scale", "bias"}
     assert p["conv_out"]["kernel"].shape == (3, 3, 32, 3)
     assert p["conv_out"]["bias"].shape == (3,)
+
+
+def test_bf16_tail_grad_traces():
+    """Regression: VQGAN *training* through the refactored decoder tail.
+
+    With bf16 activations, the tail conv must not request
+    preferred_element_type=f32 — conv's transpose-RHS rule rebuilds a conv
+    from the (output-dtype) cotangent, and the mixed bf16/f32 operands
+    raised at trace time, breaking tools/vqgan_pretrain.py.  eval_shape
+    covers the trace without the (minutes-long on 1 CPU) compile."""
+    from resshift_tpu.models.vqgan import VQModel
+
+    dd = dict(double_z=False, z_channels=3, resolution=32, in_channels=3,
+              out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+              attn_resolutions=[], dropout=0.0)
+    m = VQModel(ddconfig=dd, n_embed=64, embed_dim=3, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, x):
+        r, vq = m.apply({"params": p}, x, method=m.training_recon)
+        return jnp.mean((r.astype(jnp.float32) - x) ** 2) + vq
+
+    shapes = jax.eval_shape(jax.grad(loss), p, x)  # raised before the fix
+    assert jax.tree_util.tree_structure(shapes) == jax.tree_util.tree_structure(p)

@@ -50,10 +50,25 @@ CROP = 64
 SF = 4
 
 
-def build_dataset(out: Path):
+def _dihedral(im: np.ndarray, k: int) -> np.ndarray:
+    """The 8 flip/rot90 views (k in 0..7): the paired augment the reference
+    trains with (basicsr transforms + util_image data_aug_np).  MATLAB
+    bicubic is separable/symmetric, so downsample commutes with these —
+    augmenting GT then deriving LQ equals augmenting the pair."""
+    if k >= 4:
+        im = im[:, ::-1]
+    return np.ascontiguousarray(np.rot90(im, k % 4, axes=(0, 1)))
+
+
+def build_dataset(out: Path, stride: int = 32, n_aug: int = 8):
     """Deterministic 4x pairs at TRUE low resolution (the latent path
     upsamples inside `encode_first_stage`, gaussian_diffusion.py:500-512 —
-    unlike the pixel proof's pre-upsampled pairs)."""
+    unlike the pixel proof's pre-upsampled pairs).
+
+    Round-3 extension: overlapping stride-32 crops x 8-way dihedral views
+    (the first fit used 15 disjoint crops/image and memorized them — train
+    loss 3e-4 with val PSNR plateaued; see TRAIN.md).  The val center crop
+    (offset 96, which IS on the stride-32 grid) is excluded from train."""
     import cv2
 
     from resshift_tpu.ops.resize import imresize_matlab
@@ -72,14 +87,18 @@ def build_dataset(out: Path):
         im = imread(p)
         h, w = im.shape[:2]
         ch, cw = (h - CROP) // 2, (w - CROP) // 2
-        for yy in range(0, h - CROP + 1, CROP):
-            for xx in range(0, w - CROP + 1, CROP):
-                g = im[yy:yy + CROP, xx:xx + CROP]
-                lq = np.clip(imresize_matlab(g, 1.0 / SF), 0, 1)
-                name = f"{p.stem}_{yy:03d}_{xx:03d}.png"
-                save(out / "train" / "lq" / name, lq)
-                save(out / "train" / "gt" / name, g)
-                n_train += 1
+        for yy in range(0, h - CROP + 1, stride):
+            for xx in range(0, w - CROP + 1, stride):
+                if (yy, xx) == (ch, cw):
+                    continue  # exactly the held-out val view
+                g0 = im[yy:yy + CROP, xx:xx + CROP]
+                for k in range(n_aug):
+                    g = _dihedral(g0, k)
+                    lq = np.clip(imresize_matlab(g, 1.0 / SF), 0, 1)
+                    name = f"{p.stem}_{yy:03d}_{xx:03d}_a{k}.png"
+                    save(out / "train" / "lq" / name, lq)
+                    save(out / "train" / "gt" / name, g)
+                    n_train += 1
         g = im[ch:ch + CROP, cw:cw + CROP]
         lq = np.clip(imresize_matlab(g, 1.0 / SF), 0, 1)
         save(out / "val" / "lq" / f"{p.stem}_center.png", lq)
@@ -195,6 +214,11 @@ def main():
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-resume", action="store_true")
+    ap.add_argument("--data-stride", type=int, default=32,
+                    help="train crop grid stride (64 = the round-3 first "
+                         "fit's disjoint grid)")
+    ap.add_argument("--data-aug", type=int, default=8,
+                    help="dihedral views per crop (1 = no augmentation)")
     args = ap.parse_args()
 
     import jax
@@ -210,7 +234,8 @@ def main():
     print(f"[latent-proof] device: {jax.devices()}", flush=True)
 
     if not (data / "train" / "lq").exists():
-        n_tr, n_val = build_dataset(data)
+        n_tr, n_val = build_dataset(data, stride=args.data_stride,
+                                    n_aug=args.data_aug)
         print(f"[latent-proof] dataset: {n_tr} train / {n_val} val pairs",
               flush=True)
 

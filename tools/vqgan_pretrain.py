@@ -78,6 +78,7 @@ def val_crops(ims: np.ndarray, crop: int) -> np.ndarray:
 
 
 def main():
+    global N_EMBED
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/vq_pretrain")
     ap.add_argument("--iters", type=int, default=4000)
@@ -85,7 +86,12 @@ def main():
     ap.add_argument("--crop", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-embed", type=int, default=N_EMBED,
+                    help="codebook size (the flagship f4 ships 8192; the "
+                         "512 default was the round-3 first fit — its "
+                         "quantization error capped the AE ceiling)")
     args = ap.parse_args()
+    N_EMBED = args.n_embed
 
     import jax
     import jax.numpy as jnp
