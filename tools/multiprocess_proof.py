@@ -50,11 +50,17 @@ def worker_main(args):
     # CPU platform with 2 virtual devices per process; must be configured
     # before any backend use (conftest.py pattern: the image's sitecustomize
     # pre-registers the TPU plugin, so jax.config is the reliable override)
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={args.local_devices}"
-        ).strip()
+    # ALWAYS pin the per-process device count, replacing any inherited
+    # setting: a caller exporting --xla_force_host_platform_device_count=8
+    # (the repo's standard mesh-test env) would otherwise give each worker
+    # 8 devices and a nproc*8 global mesh the proof's batch can't shard.
+    import re
+
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   os.environ.get("XLA_FLAGS", ""))
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={args.local_devices}"
+    ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
