@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings",
-           "maybe_init_distributed", "P"]
+           "fsdp_spec", "fsdp_shardings", "maybe_init_distributed", "P"]
 
 
 def maybe_init_distributed(force: bool = False) -> bool:
@@ -94,5 +94,53 @@ def data_parallel_shardings(mesh: Mesh, state: Any, batch: Any):
     rep = replicate(mesh)
     shd = shard_batch(mesh)
     state_sh = jax.tree_util.tree_map(lambda _: rep, state)
+    batch_sh = jax.tree_util.tree_map(lambda _: shd, batch)
+    return state_sh, batch_sh
+
+
+def fsdp_spec(shape, n: int, axis_name: str = "data",
+              min_size: int = 2 ** 15) -> P:
+    """FSDP partition spec for one parameter/optimizer-state leaf.
+
+    ZeRO-3-style sharding the GSPMD way (the scaling-book recipe): annotate
+    each large leaf as sharded over the data axis on its largest divisible
+    dimension and let XLA insert the all-gather before use in the forward
+    and the reduce-scatter on the gradients — no hand-written collectives,
+    no wrapper module (the reference has no analog; torch needs the FSDP
+    wrapper class).  Small leaves (biases, norms, scalars like the AdamW
+    step count) stay replicated: sharding them saves nothing and adds
+    per-leaf collectives.
+
+    For conv kernels (kh, kw, Cin, Cout) and dense (in, out) this picks the
+    output-channel/feature dim; EMA and AdamW mu/nu get the same spec as
+    their param because the spec depends only on the leaf's shape.
+    """
+    shape = tuple(shape)
+    if not shape or int(np.prod(shape)) < min_size:
+        return P()
+    cands = [d for d in range(len(shape)) if shape[d] % n == 0]
+    if not cands:
+        return P()
+    d = max(cands, key=lambda i: shape[i])
+    spec: list[Any] = [None] * len(shape)
+    spec[d] = axis_name
+    return P(*spec)
+
+
+def fsdp_shardings(mesh: Mesh, state: Any, batch: Any = None,
+                   axis_name: str = "data", min_size: int = 2 ** 15):
+    """(state_sharding[, batch_sharding]) pytrees for an FSDP train step:
+    every large state leaf sharded over `axis_name` (fsdp_spec), batch
+    leaves sharded on dim 0 as in plain DP."""
+    n = int(mesh.shape[axis_name])
+
+    def leaf_sh(x):
+        return NamedSharding(mesh, fsdp_spec(getattr(x, "shape", ()), n,
+                                             axis_name, min_size))
+
+    state_sh = jax.tree_util.tree_map(leaf_sh, state)
+    if batch is None:
+        return state_sh
+    shd = shard_batch(mesh, axis_name)
     batch_sh = jax.tree_util.tree_map(lambda _: shd, batch)
     return state_sh, batch_sh

@@ -131,6 +131,8 @@ class Trainer:
             loss_coef=tuple(tcfg_raw.get("loss_coef", (1.0, 1.0))),
             # activation rematerialization: train.remat: dots|full|null
             remat=tcfg_raw.get("remat"),
+            # FSDP state sharding: train.fsdp: true (parallel/mesh.py)
+            fsdp=bool(tcfg_raw.get("fsdp", False)),
         )
         self.batch = int(tcfg_raw.get("batch", [16, 8])[0]
                          if isinstance(tcfg_raw.get("batch"), (list, tuple))
@@ -236,11 +238,26 @@ class Trainer:
 
     def _compiled_step(self, batch):
         if self._jstep is None:
-            state_sh, batch_sh = data_parallel_shardings(self.mesh, self.state, batch)
+            use_fsdp = self.tcfg.fsdp and self.n_dev > 1
+            if use_fsdp:
+                # train state sharded over the data axis (ZeRO-3 style);
+                # the frozen VQGAN stays replicated — it is forward-only
+                # and its fused Pallas kernels are opaque to the
+                # partitioner (parallel/tp.py:31-40 discussion)
+                from .parallel.mesh import fsdp_shardings
+
+                state_sh, batch_sh = fsdp_shardings(self.mesh, self.state, batch)
+            else:
+                state_sh, batch_sh = data_parallel_shardings(
+                    self.mesh, self.state, batch)
             vq_sh, _ = data_parallel_shardings(self.mesh, self.vq_params, batch)
             key_sh, _ = data_parallel_shardings(self.mesh, jax.random.PRNGKey(0), batch)
-            self._jstep = jax.jit(self.step_fn,
-                                  in_shardings=(state_sh, vq_sh, batch_sh, key_sh))
+            self._jstep = jax.jit(
+                self.step_fn,
+                in_shardings=(state_sh, vq_sh, batch_sh, key_sh),
+                # pin the output state to the same layout so the sharded
+                # state round-trips the loop without resharding copies
+                out_shardings=(state_sh, None) if use_fsdp else None)
         return self._jstep
 
     def prepare_batch(self, raw: dict, key: jax.Array) -> dict:
@@ -283,8 +300,16 @@ class Trainer:
         return out
 
     def _local_params(self, params):
-        """Fully-replicated global arrays -> host-local numpy, so rank-0-only
-        work (validation, image grids) can run outside the SPMD step."""
+        """Global arrays -> host-local, so rank-0-only work (validation,
+        image grids) can run outside the SPMD step.  FSDP-sharded state is
+        all-gathered first (a replicated-out identity jit); fully-replicated
+        arrays pass through (single process) or convert to numpy."""
+        if self.tcfg.fsdp and self.n_dev > 1:
+            from .parallel.mesh import replicate
+
+            with self.mesh:
+                params = jax.jit(lambda t: t,
+                                 out_shardings=replicate(self.mesh))(params)
         if jax.process_count() == 1:
             return params
         return jax.tree_util.tree_map(np.asarray, params)

@@ -53,6 +53,13 @@ class TrainConfig:
     #             sweet spot: the f32 GN/SiLU chains dominate live memory;
     #   "full"  — save nothing, recompute the whole forward in the bwd.
     remat: str | None = None
+    # FSDP (ZeRO-3-style) state sharding: params/EMA/optimizer moments
+    # sharded over the mesh's data axis instead of replicated
+    # (parallel/mesh.py:fsdp_shardings).  Same math as DP — XLA all-gathers
+    # params at use and reduce-scatters gradients — but per-chip state
+    # memory drops ~n_devices×, buying model-size headroom the 119M
+    # flagship doesn't need but larger variants do.  train.fsdp: true.
+    fsdp: bool = False
 
 
 def lr_schedule_fn(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
