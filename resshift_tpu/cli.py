@@ -429,6 +429,42 @@ def cmd_convert(args):
     print(f"Converted -> {args.out_path}")
 
 
+def cmd_export_torch(args):
+    """Inverse checkpoint conversion: native params (orbax dir, or a .pth
+    pair for a roundtrip) -> reference-layout torch `.pth` state_dicts, so
+    weights trained on TPU deploy in the torch ecosystem unchanged
+    (convert.py export_* — the exact inverse of the forward converter)."""
+    from .convert import export_unet_swin, export_vqgan, save_torch_state_dict
+
+    pipe = _build_pipeline(args)
+    params = _load_params(pipe, args)
+    m = pipe.config["model"]
+    sd = export_unet_swin(
+        params["unet"],
+        image_size=m["image_size"], channel_mult=m["channel_mult"],
+        num_res_blocks=m["num_res_blocks"],
+        attention_resolutions=m["attention_resolutions"],
+        swin_depth=m.get("swin_depth", 2), cond_lq=m.get("cond_lq", True),
+        lq_size=m.get("lq_size", 64),
+        resblock_updown=m.get("resblock_updown", False),
+    )
+    save_torch_state_dict(args.out_path, sd)
+    print(f"denoiser -> {args.out_path} ({len(sd)} tensors)")
+    if args.vqgan_out:
+        if "vqgan" not in params:
+            raise SystemExit("--vqgan-out given but the checkpoint has no "
+                             "vqgan params")
+        dd = pipe.config["autoencoder"]["ddconfig"]
+        sdv = export_vqgan(
+            params["vqgan"],
+            ch_mult=dd["ch_mult"], num_res_blocks=dd["num_res_blocks"],
+            attn_resolutions=dd.get("attn_resolutions", ()),
+            resolution=dd.get("resolution", 256),
+        )
+        save_torch_state_dict(args.vqgan_out, sdv)
+        print(f"vqgan -> {args.vqgan_out} ({len(sdv)} tensors)")
+
+
 def cmd_export(args):
     """Serialize the jitted sampler to a portable StableHLO artifact
     (export.py) at a fixed operating point — the deployment story the
@@ -509,6 +545,15 @@ def make_parser() -> argparse.ArgumentParser:
     common(pc)
     pc.add_argument("--out-path", required=True)
     pc.set_defaults(fn=cmd_convert)
+
+    pxt = sub.add_parser("export-torch", help="native checkpoint -> reference-"
+                         "layout torch .pth (deploy TPU-trained weights in "
+                         "the torch ecosystem)")
+    common(pxt)
+    pxt.add_argument("--out-path", required=True, help="denoiser .pth path")
+    pxt.add_argument("--vqgan-out", default=None, help="also export the VQGAN "
+                     "params to this .pth path")
+    pxt.set_defaults(fn=cmd_export_torch, chop_size=None, chop_stride=None)
 
     pt = sub.add_parser("train", help="train a task (main.py equivalent)")
     common(pt)
