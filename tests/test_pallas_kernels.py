@@ -458,3 +458,67 @@ def test_shift_tokens_pallas_interpret(monkeypatch, h, w, ws, shift):
         sp.shift_tokens_pallas(xx, h, w, ws, shift, False) * g))(x)
     np.testing.assert_array_equal(np.asarray(grad),
                                   np.asarray(jnp.take(g, jnp.asarray(inv), axis=1)))
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 8, 16), (1, 8, 16, 16, 8)])
+def test_winograd_xla_formulation_matches_direct_conv(shape):
+    """F(2,3) Winograd (pure-XLA formulation) == lax direct conv in f32.
+
+    Winograd is not bit-identical to direct convolution (different FP
+    reassociation), so the bound is a tight relative tolerance rather than
+    exact equality; in f32 the two agree to ~1e-5 relative."""
+    from resshift_tpu.ops import winograd as wg
+
+    bsz, h, w, c, co = shape
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (bsz, h, w, c), jnp.float32) * 0.3
+    wk = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, c, co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (co,)) * 0.1
+
+    want = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = wg.winograd_conv3x3_xla(x, wk, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 8, 16), (1, 16, 8, 16, 8)])
+def test_winograd_pallas_kernel_interpret(monkeypatch, shape):
+    """Fused Pallas Winograd kernel == the XLA formulation (same rounding
+    points) and == the direct conv within Winograd reassociation tolerance
+    (interpret mode on CPU)."""
+    from resshift_tpu.ops import winograd as wg
+
+    if not wg._PALLAS_OK:
+        pytest.skip("pallas unavailable")
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(wg.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+    bsz, h, w, c, co = shape
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (bsz, h, w, c), jnp.float32) * 0.3
+    wk = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, c, co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (co,)) * 0.1
+
+    got = wg.winograd_conv3x3(x, wk, b)
+    want_form = wg.winograd_conv3x3_xla(x, wk, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_form),
+                               rtol=1e-5, atol=1e-6)
+
+    want_direct = jax.lax.conv_general_dilated(
+        x, wk, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_direct),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_winograd_shape_gate():
+    from resshift_tpu.ops import winograd as wg
+
+    assert not wg.winograd_available((1, 7, 8, 64), 64, 64)   # odd H
+    assert not wg.winograd_available((1, 64, 64, 32), 32, 64)  # C too small
+    if wg._PALLAS_OK:
+        assert wg.winograd_available((1, 64, 64, 128), 128, 128)
