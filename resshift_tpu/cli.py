@@ -167,6 +167,17 @@ def cmd_infer(args):
                     params, jax.numpy.asarray(lq), k, tp_mesh,
                     mask=None if mask is None else jax.numpy.asarray(mask),
                     noise_repeat=args.noise_repeat)
+            elif getattr(args, "pipeline_parallel", False) and n_dev > 1:
+                # the reverse chain staged over all local chips
+                # (parallel/pp.py): chunks of tiles stream stage-to-stage
+                # over ICI; encode on stage 0, decode on the last stage
+                from jax.sharding import Mesh
+
+                pp_mesh = Mesh(np.array(jax.devices()), ("stage",))
+                sr = pipe.sample_pipelined(
+                    params, jax.numpy.asarray(lq), k, pp_mesh,
+                    mask=None if mask is None else jax.numpy.asarray(mask),
+                    noise_repeat=args.noise_repeat, chunk_bs=args.chop_bs)
             elif args.time_parallel and lq.shape[1] <= pipe.chop_size \
                     and lq.shape[2] <= pipe.chop_size:
                 # Picard-parallel reverse chain: the denoiser runs `sweeps`
@@ -528,6 +539,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="shard the model over all local chips "
                          "(parallel/tp.py; exact — batch-1 latency mode for "
                          "single-tile inputs)")
+    pi.add_argument("--pipeline-parallel", action="store_true",
+                    help="stage the reverse-diffusion chain over all local "
+                         "chips (parallel/pp.py GPipe streaming; exact — "
+                         "each chip runs its slice of the chain, chunks of "
+                         "--chop-bs tiles flow stage-to-stage over ICI)")
     pi.set_defaults(fn=cmd_infer)
 
     pe = sub.add_parser("eval", help="README reproduce protocols "

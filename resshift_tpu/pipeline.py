@@ -567,6 +567,151 @@ class ResShiftPipeline:
         with mesh:
             return self._jit_cache[sig](params, lq, mask, key)
 
+    def sample_pipelined(self, params, lq, key, mesh, mask=None, *,
+                         noise_repeat=False, chop_size: int | None = None,
+                         chop_stride: int | None = None, chunk_bs: int = 1,
+                         axis: str = "stage"):
+        """Pipeline-parallel inference: the reverse-diffusion chain is
+        staged over the mesh's `stage` axis (GPipe streaming, parallel/pp.py).
+
+        Stage 0 encodes chunk i and runs the first slice of the chain; the
+        latent (+ its conditioning) flows stage-to-stage over ICI via
+        `ppermute`; the last stage finishes the chain and decodes.  Each
+        stage holds ONE in-flight chunk, so the per-device working set is
+        a single chunk's activations regardless of how many images stream
+        through, and the encode/denoise/decode phases of different chunks
+        overlap in steady state.
+
+        Chunking and per-chunk key derivation mirror `_sample_padded`
+        exactly (tile grid, wrap-around pad, `jax.random.split(key,
+        n_chunks)` with `chunk_bs` playing `tile_bs`), so the output
+        matches `sample(..., tile_bs=chunk_bs)` up to float reduction
+        order.  No reference counterpart (its multi-GPU inference is
+        rank-sliced batches only, sampler.py:267-283).
+        """
+        from .parallel import pp
+
+        chop_size = chop_size or self.chop_size
+        chop_stride = chop_stride or self.chop_stride
+        n_stages = mesh.shape[axis]
+        sig = ("pp", lq.shape, None if mask is None else mask.shape,
+               bool(noise_repeat), chop_size, chop_stride, chunk_bs,
+               n_stages, axis)
+        if sig not in self._jit_cache:
+            T = self.sched.num_timesteps
+            starts_l, counts_l = pp.stage_slices(T, n_stages)
+            starts = jnp.asarray(starts_l, jnp.int32)
+            counts = jnp.asarray(counts_l, jnp.int32)
+            max_cnt = max(counts_l)
+            clip_den = self.vq is None
+
+            def ingest(ops, idx):
+                params_c, chunks, mchunks, ckeys = ops
+                lq_c = jax.lax.dynamic_index_in_dim(chunks, idx, 0,
+                                                    keepdims=False)
+                k = jax.lax.dynamic_index_in_dim(ckeys, idx, 0,
+                                                 keepdims=False)
+                # the exact key dance of _sample_tile + rs.sample_loop
+                k1, kprior = jax.random.split(k)
+                z_y = self._encode(params_c.get("vqgan"), lq_c,
+                                   up_sample=True)
+                noise = jax.random.normal(kprior, z_y.shape, jnp.float32)
+                if noise_repeat:
+                    noise = jnp.broadcast_to(noise[:1], noise.shape)
+                x_T = rs.prior_sample(self.sched, z_y, noise)
+                payload = {"x": x_T, "y": z_y, "lq": lq_c, "key": k1}
+                if mchunks is not None:
+                    payload["mask"] = jax.lax.dynamic_index_in_dim(
+                        mchunks, idx, 0, keepdims=False)
+                return payload
+
+            def work(ops, s, payload):
+                params_c = ops[0]
+                k2, _ = jax.random.split(payload["key"])
+                skeys = jax.random.split(k2, T)
+                mk = self._cond_kwargs(params_c, payload["lq"],
+                                       payload.get("mask"))
+
+                def model_fn(x, t_orig, **kw):
+                    return self.unet.apply(
+                        {"params": params_c["unet"]}, x, t_orig, **kw)
+
+                x = payload["x"]
+                for j in range(max_cnt):
+                    t_g = starts[s] - j
+
+                    def do_step(x, t_g=t_g):
+                        x_next, _ = rs.p_sample(
+                            self.sched, model_fn, x, payload["y"], t_g,
+                            skeys[T - 1 - t_g], clip_denoised=clip_den,
+                            model_kwargs=mk, noise_repeat=noise_repeat)
+                        return x_next
+
+                    x = jax.lax.cond(j < counts[s], do_step,
+                                     lambda x: x, x)
+                return {**payload, "x": x}
+
+            def emit(ops, payload):
+                img = self._decode(ops[0].get("vqgan"), payload["x"])
+                return jnp.clip(img, -1.0, 1.0)
+
+            def fn(params, lq, mask, key):
+                params_c = self._compute_params(params)
+                b, h, w, c = lq.shape
+                offset = self.padding_offset
+                ph = math.ceil(h / offset) * offset - h
+                pw = math.ceil(w / offset) * offset - w
+                if ph or pw:
+                    lq = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="reflect")
+                    if mask is not None:
+                        mask = jnp.pad(mask,
+                                       ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                       mode="reflect")
+                hp, wp = h + ph, w + pw
+
+                if hp <= chop_size and wp <= chop_size:
+                    tiles, mtiles, grid = lq, mask, None
+                else:
+                    grid = TileGrid(hp, wp, chop_size, chop_stride,
+                                    sf=self.sf)
+                    tiles = grid.split(lq)
+                    mtiles = grid.split(mask) if mask is not None else None
+
+                t_total = tiles.shape[0]
+                cb = max(1, min(int(chunk_bs), t_total))
+                n_chunks = math.ceil(t_total / cb)
+                pad_t = n_chunks * cb - t_total
+                if pad_t:
+                    tiles = jnp.concatenate([tiles, tiles[:pad_t]], axis=0)
+                    if mtiles is not None:
+                        mtiles = jnp.concatenate(
+                            [mtiles, mtiles[:pad_t]], axis=0)
+                th, tw = tiles.shape[1:3]
+                chunks = tiles.reshape(n_chunks, cb, th, tw, c)
+                mchunks = (None if mtiles is None else
+                           mtiles.reshape(n_chunks, cb, th, tw,
+                                          mtiles.shape[-1]))
+                # grid path (and any multi-chunk stream): per-chunk keys
+                # exactly as _sample_padded; the single-chunk single-tile
+                # path gets the undivided key, as _sample_tile does
+                ckeys = (key[None] if grid is None and n_chunks == 1
+                         else jax.random.split(key, n_chunks))
+
+                outs = pp.pipeline_stream(
+                    mesh, axis, (params_c, chunks, mchunks, ckeys),
+                    n_chunks=n_chunks, ingest=ingest, work=work, emit=emit)
+                outs = outs.reshape(n_chunks * cb, th * self.sf,
+                                    tw * self.sf, c)
+                if pad_t:
+                    outs = outs[:t_total]
+                out = outs if grid is None else grid.gather(outs, b)
+                return out[:, :h * self.sf, :w * self.sf, :]
+
+            self._jit_cache[sig] = jax.jit(fn)
+        with mesh:
+            return self._jit_cache[sig](params, lq, mask, key)
+
     def sample_batch_sharded(self, params, lq, key, mesh, mask=None, *,
                              noise_repeat=False, chop_size: int | None = None,
                              chop_stride: int | None = None, tile_bs: int = 1):
