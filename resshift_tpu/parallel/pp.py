@@ -141,10 +141,15 @@ def pipeline_stream(
         # only the last stage's buffer is read back (sliced by the caller)
         return out_buf[None]
 
+    # Manual ONLY over the pipeline axis: on a 2-D (stage, data) mesh the
+    # other axes stay automatic, so GSPMD shards each in-flight chunk's
+    # batch dim over `data` (hybrid PP x DP) from the caller's sharding
+    # constraints while ppermute moves payloads along `stage`.
     stacked = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(),),
         out_specs=P(axis),
+        axis_names={axis},
         check_vma=False,
     )(operands)
     return stacked[-1]

@@ -698,6 +698,17 @@ class ResShiftPipeline:
                 ckeys = (key[None] if grid is None and n_chunks == 1
                          else jax.random.split(key, n_chunks))
 
+                if "data" in mesh.shape and mesh.shape["data"] > 1:
+                    # hybrid PP x DP: each in-flight chunk's batch dim is
+                    # sharded over `data` (GSPMD; the pipeline axis stays
+                    # manual inside pp.pipeline_stream)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    shd = NamedSharding(mesh, PartitionSpec(None, "data"))
+                    chunks = jax.lax.with_sharding_constraint(chunks, shd)
+                    if mchunks is not None:
+                        mchunks = jax.lax.with_sharding_constraint(
+                            mchunks, shd)
                 outs = pp.pipeline_stream(
                     mesh, axis, (params_c, chunks, mchunks, ckeys),
                     n_chunks=n_chunks, ingest=ingest, work=work, emit=emit)

@@ -112,3 +112,24 @@ def test_sample_pipelined_chopped_matches_sequential_tile_walk():
     mse = float(np.mean((got - want) ** 2))
     psnr = 10 * np.log10(4.0 / mse) if mse > 0 else np.inf
     assert psnr >= 35.0, f"chopped PP vs single PSNR {psnr:.1f} dB"
+
+
+def test_sample_pipelined_hybrid_pp_x_dp_mesh():
+    """2-D (stage x data) mesh: chunks stream through 4 stages while each
+    chunk's batch dim is sharded 2-way over `data` (GSPMD auto axes inside
+    the manual-stage shard_map).  Must match the 1-D pipeline exactly."""
+    pipe = ResShiftPipeline(tiny_config(), dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3),
+                            jnp.float32, -1.0, 1.0)
+    key = jax.random.PRNGKey(2)
+    want = np.asarray(pipe.sample_pipelined(params, lq, key, _mesh(4),
+                                            chunk_bs=2))
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                 ("stage", "data"))
+    got = np.asarray(pipe.sample_pipelined(params, lq, key, mesh2,
+                                           chunk_bs=2))
+    assert got.shape == want.shape == (4, 64, 64, 3)
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10 * np.log10(4.0 / mse) if mse > 0 else np.inf
+    assert psnr >= 45.0, f"hybrid-vs-1D PP PSNR {psnr:.1f} dB"
