@@ -311,8 +311,9 @@ class ResShiftPipeline:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dev = 1 if mesh is None else len(mesh.devices.ravel())
+        # the compiled fn closes over the mesh -> full layout in the key
         sig = ("tpar", lq.shape, None if mask is None else mask.shape,
-               sweeps, n_dev)
+               sweeps, None if mesh is None else tuple(mesh.shape.items()))
         if sig not in self._jit_cache:
             shard_fn = None
             if mesh is not None:
@@ -561,7 +562,7 @@ class ResShiftPipeline:
             return grid.gather(out, b)[:, :h * self.sf, :w * self.sf, :]
 
         sig = ("sharded", lq.shape, None if mask is None else mask.shape,
-               chop_size, chop_stride, n_dev)
+               chop_size, chop_stride, tuple(mesh.shape.items()))
         if sig not in self._jit_cache:
             self._jit_cache[sig] = jax.jit(fn)
         with mesh:
@@ -594,9 +595,11 @@ class ResShiftPipeline:
         chop_size = chop_size or self.chop_size
         chop_stride = chop_stride or self.chop_stride
         n_stages = mesh.shape[axis]
+        # the compiled fn closes over THIS mesh -> the full mesh layout
+        # must be part of the cache key, not just the stage count
         sig = ("pp", lq.shape, None if mask is None else mask.shape,
                bool(noise_repeat), chop_size, chop_stride, chunk_bs,
-               n_stages, axis)
+               tuple(mesh.shape.items()), axis)
         if sig not in self._jit_cache:
             T = self.sched.num_timesteps
             starts_l, counts_l = pp.stage_slices(T, n_stages)

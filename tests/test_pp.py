@@ -133,3 +133,28 @@ def test_sample_pipelined_hybrid_pp_x_dp_mesh():
     mse = float(np.mean((got - want) ** 2))
     psnr = 10 * np.log10(4.0 / mse) if mse > 0 else np.inf
     assert psnr >= 45.0, f"hybrid-vs-1D PP PSNR {psnr:.1f} dB"
+
+
+def test_pipeline_stream_single_stage_and_short_stream():
+    """Degenerate edges: a 1-stage 'pipeline' (no ppermute partners) and a
+    stream shorter than the stage count (drain-dominated) both route every
+    chunk through every stage exactly once."""
+    chunks = jnp.arange(3, dtype=jnp.float32).reshape(3, 1) + 1.0
+
+    def ingest(ops, idx):
+        return {"v": jax.lax.dynamic_index_in_dim(ops[0], idx, 0, False)}
+
+    def emit(ops, payload):
+        return payload["v"]
+
+    # S=1: work multiplies by 3; out = 3 * chunks
+    out1 = pp.pipeline_stream(
+        _mesh(1), "stage", (chunks,), n_chunks=3, ingest=ingest,
+        work=lambda ops, s, p: {"v": p["v"] * 3.0}, emit=emit)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(chunks) * 3.0)
+
+    # S=8 > N=3: heavy drain; each stage adds 1 -> out = chunks + 8
+    out2 = pp.pipeline_stream(
+        _mesh(8), "stage", (chunks,), n_chunks=3, ingest=ingest,
+        work=lambda ops, s, p: {"v": p["v"] + 1.0}, emit=emit)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(chunks) + 8.0)
