@@ -167,6 +167,18 @@ def cmd_infer(args):
                     params, jax.numpy.asarray(lq), k, tp_mesh,
                     mask=None if mask is None else jax.numpy.asarray(mask),
                     noise_repeat=args.noise_repeat)
+            elif getattr(args, "spatial_parallel", False) and n_dev > 1:
+                # the image HEIGHT axis sharded over all local chips
+                # (pipeline.sample_spatial): the UNCHOPPED sampler runs as
+                # one GSPMD program, XLA halo-exchanges conv borders on ICI
+                # — seam-exact large-image mode (no tile blending)
+                from jax.sharding import Mesh
+
+                sp_mesh = Mesh(np.array(jax.devices()), ("space",))
+                sr = pipe.sample_spatial(
+                    params, jax.numpy.asarray(lq), k, sp_mesh,
+                    mask=None if mask is None else jax.numpy.asarray(mask),
+                    noise_repeat=args.noise_repeat)
             elif getattr(args, "pipeline_parallel", False) and n_dev > 1:
                 # the reverse chain staged over all local chips
                 # (parallel/pp.py): chunks of tiles stream stage-to-stage
@@ -539,6 +551,12 @@ def make_parser() -> argparse.ArgumentParser:
                     help="shard the model over all local chips "
                          "(parallel/tp.py; exact — batch-1 latency mode for "
                          "single-tile inputs)")
+    pi.add_argument("--spatial-parallel", action="store_true",
+                    help="shard the image HEIGHT axis over all local chips "
+                         "(pipeline.sample_spatial; exact — the unchopped "
+                         "sampler runs as one GSPMD program with conv-border "
+                         "halo exchanges on ICI: no tile seams, 1/n of every "
+                         "activation per chip)")
     pi.add_argument("--pipeline-parallel", action="store_true",
                     help="stage the reverse-diffusion chain over all local "
                          "chips (parallel/pp.py GPipe streaming; exact — "

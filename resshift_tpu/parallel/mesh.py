@@ -21,7 +21,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings",
-           "fsdp_spec", "fsdp_shardings", "maybe_init_distributed", "P"]
+           "dp_sp_shardings", "fsdp_spec", "fsdp_shardings",
+           "maybe_init_distributed", "P"]
 
 
 def maybe_init_distributed(force: bool = False) -> bool:
@@ -96,6 +97,34 @@ def data_parallel_shardings(mesh: Mesh, state: Any, batch: Any):
     state_sh = jax.tree_util.tree_map(lambda _: rep, state)
     batch_sh = jax.tree_util.tree_map(lambda _: shd, batch)
     return state_sh, batch_sh
+
+
+def dp_sp_shardings(mesh: Mesh, state: Any, batch: Any,
+                    data_axis: str = "data", space_axis: str = "space"):
+    """(state_sharding, batch_sharding) pytrees for a DP x SP train step.
+
+    Sequence parallelism in the spatial domain: on a 2-D (data, space) mesh
+    the batch images shard on BOTH the batch dim (DP) and the height dim
+    (SP) — each device holds a (B/n_data, H/n_space) activation slab, and
+    GSPMD halo-exchanges conv borders / reshards the swin window partitions
+    through the whole fwd+bwd program.  State stays replicated (compose
+    with `fsdp_shardings` for sharded state instead).  Cuts per-device
+    activation memory ~n_space x for large training crops — the training
+    counterpart of `pipeline.sample_spatial`; no reference analog (its
+    parallelism is DDP only, trainer.py:221).
+
+    4-D batch leaves (NHWC images/masks) get P(data, space); lower-rank
+    leaves shard on the batch dim only.
+    """
+    rep = replicate(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: rep, state)
+
+    def batch_sh(x):
+        if getattr(x, "ndim", len(getattr(x, "shape", ()))) == 4:
+            return NamedSharding(mesh, P(data_axis, space_axis))
+        return NamedSharding(mesh, P(data_axis))
+
+    return state_sh, jax.tree_util.tree_map(batch_sh, batch)
 
 
 def fsdp_spec(shape, n: int, axis_name: str = "data",

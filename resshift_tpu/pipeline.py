@@ -568,6 +568,80 @@ class ResShiftPipeline:
         with mesh:
             return self._jit_cache[sig](params, lq, mask, key)
 
+    def sample_spatial(self, params, lq, key, mesh, mask=None, *,
+                       noise_repeat=False, axis: str = "space"):
+        """Spatially-sharded inference: the image HEIGHT axis is sharded
+        over the mesh's `axis` ("space") and the WHOLE sampler — bicubic
+        upsample, VQGAN encode, the full reverse chain, decode — runs as one
+        GSPMD program with XLA inserting halo exchanges for the convolution
+        borders (collective-permute of edge rows over ICI).
+
+        This is true sequence/context parallelism in the spatial domain
+        (SURVEY §5.7): unlike chopped inference (`sample`/
+        `sample_tiles_sharded`), which approximates seams by overlap
+        averaging (reference util_image.py:963-979), the spatially-sharded
+        program computes the mathematically EXACT unchopped result — no
+        tile seams, no overlap recompute — while each device holds only
+        1/n_space of every activation, so images too large for one chip's
+        HBM fit.  Combines with a `data` mesh axis for batch sharding
+        (2-D data x space mesh).
+
+        Alignment: the padded latent height must divide by n_space; shard
+        boundaries land on swin window rows when (H*sf/f) / n_space is a
+        multiple of the window size (true for the flagship's 64-multiple
+        padding at n_space <= 8) — misaligned levels still compute exactly,
+        GSPMD just inserts extra resharding.  The Pallas kernels are opaque
+        to the partitioner, so this path runs the XLA compositions (same
+        trade as `sample_tp`).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if axis not in axes:
+            raise ValueError(f"sample_spatial needs a mesh axis named {axis!r}")
+        n_space = axes[axis]
+        n_data = axes.get("data", 1)
+        b, h, w, c = lq.shape
+        offset = self.padding_offset
+        ph = math.ceil(h / offset) * offset - h
+        pw = math.ceil(w / offset) * offset - w
+        lat_h, _ = self._latent_hw(h + ph, w + pw)
+        if lat_h % n_space:
+            raise ValueError(
+                f"latent height {lat_h} (from padded input {h + ph}) does not "
+                f"divide over {n_space} '{axis}' devices")
+        pad_b = (-b) % n_data
+        if pad_b:
+            lq = jnp.concatenate([lq, jnp.repeat(lq[-1:], pad_b, axis=0)], axis=0)
+            if mask is not None:
+                mask = jnp.concatenate(
+                    [mask, jnp.repeat(mask[-1:], pad_b, axis=0)], axis=0)
+        bspec = "data" if n_data > 1 else None
+        shd = NamedSharding(mesh, P(bspec, axis, None, None))
+
+        sig = ("spatial", lq.shape, None if mask is None else mask.shape,
+               bool(noise_repeat), tuple(mesh.shape.items()), axis)
+        if sig not in self._jit_cache:
+            spp = self._tp_clone()  # XLA-only clone (Pallas opaque to GSPMD)
+
+            def fn(params, lq, mask, key):
+                if ph or pw:
+                    lq = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 mode="reflect")
+                    if mask is not None:
+                        mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                       mode="reflect")
+                lq = jax.lax.with_sharding_constraint(lq, shd)
+                if mask is not None:
+                    mask = jax.lax.with_sharding_constraint(mask, shd)
+                out = spp._sample_tile(params, lq, key, mask, noise_repeat)
+                return out[:, :h * self.sf, :w * self.sf, :]
+
+            self._jit_cache[sig] = jax.jit(fn)
+        with mesh:
+            out = self._jit_cache[sig](params, lq, mask, key)
+        return out[:b]
+
     def sample_pipelined(self, params, lq, key, mesh, mask=None, *,
                          noise_repeat=False, chop_size: int | None = None,
                          chop_stride: int | None = None, chunk_bs: int = 1,
