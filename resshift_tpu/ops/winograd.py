@@ -248,9 +248,17 @@ def winograd_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     # VMEM-resident across the whole (batch x rows) sweep.  Co is the
     # OUTERMOST grid dim, so U is fetched co//co_blk times total instead
     # of once per row-block (U traffic would otherwise dominate HBM).
-    co_blk = co if 16 * c * co * 2 <= 6 * 1024 * 1024 else 256
-    if co % co_blk:
+    budget = 6 * 1024 * 1024
+    if 16 * c * co * 2 <= budget:
         co_blk = co
+    else:
+        # largest divisor of co (lane-multiple preferred) that fits the
+        # budget — never fall back to the full co, which would defeat the
+        # VMEM cap the blocking enforces (e.g. co=320 with large C)
+        fits = [d for d in range(co, 0, -1)
+                if co % d == 0 and 16 * c * d * 2 <= budget]
+        lane = [d for d in fits if d % 128 == 0]
+        co_blk = (lane or fits)[0]
     tr = _pick_tr(h, wd, c, co_blk)
 
     u = winograd_kernel_transform(w).astype(x.dtype).reshape(16, c, co)

@@ -46,17 +46,43 @@ class ResShiftPipeline:
         self.config = config
         self.sf = int(config["sf"])
         d = config["diffusion"]
-        self.sched = build_schedule(
-            schedule_name=d.get("schedule_name", "exponential"),
-            steps=d["steps"], min_noise_level=d["min_noise_level"],
-            etas_end=d.get("etas_end", 0.99), kappa=d.get("kappa", 1.0),
-            power=d.get("power", 0.3), predict_type=d.get("predict_type", "xstart"),
-            timestep_respacing=d.get("timestep_respacing"),
-            mat_path=d.get("mat_path"),
-            normalize_input=d.get("normalize_input", True),
-            latent_flag=d.get("latent_flag", True),
-            scale_factor=d.get("scale_factor", 1.0), sf=self.sf,
-        )
+        # `variant: ddpm` selects the classic-DDPM/DDIM chain (the
+        # reference's create_gaussian_diffusion_ddpm ablation path,
+        # models/script_util.py:57-92) — reachable from any YAML config via
+        # this key; everything else runs the ResShift residual-shifting
+        # chain.  The variant swaps only the per-tile chain; padding,
+        # tiling, sharded samplers and the CLI all route through unchanged.
+        self.variant = d.get("variant", "resshift")
+        self.scale_factor = float(d.get("scale_factor", 1.0))
+        if self.variant == "ddpm":
+            from .diffusion import ddpm as _ddpm
+
+            self._ddpm = _ddpm
+            self.ddpm_sampler = d.get("sampler", "ancestral")  # | "ddim"
+            self.ddpm_eta = float(d.get("eta", 0.0))
+            self.sched = _ddpm.build_ddpm_schedule(
+                steps=d.get("steps", 1000),
+                beta_start=d.get("beta_start", 1e-4),
+                beta_end=d.get("beta_end", 0.02),
+                predict_xstart=(d.get("predict_type", "epsilon") == "xstart"),
+                timestep_respacing=d.get("timestep_respacing"),
+                scale_factor=self.scale_factor, sf=self.sf,
+            )
+        elif self.variant != "resshift":
+            raise ValueError(f"unknown diffusion.variant '{self.variant}'")
+        if self.variant == "resshift":
+            self.sched = build_schedule(
+                schedule_name=d.get("schedule_name", "exponential"),
+                steps=d["steps"], min_noise_level=d["min_noise_level"],
+                etas_end=d.get("etas_end", 0.99), kappa=d.get("kappa", 1.0),
+                power=d.get("power", 0.3),
+                predict_type=d.get("predict_type", "xstart"),
+                timestep_respacing=d.get("timestep_respacing"),
+                mat_path=d.get("mat_path"),
+                normalize_input=d.get("normalize_input", True),
+                latent_flag=d.get("latent_flag", True),
+                scale_factor=self.scale_factor, sf=self.sf,
+            )
         m = dict(config["model"])
         m.pop("dims", None)
         m.pop("use_fp16", None)
@@ -224,6 +250,8 @@ class ResShiftPipeline:
     def _sample_tile(self, params, lq, key, mask=None, noise_repeat=False):
         """Sampler for one (padded) tile batch — everything in latent space
         plus encode/decode; traced into the enclosing jit."""
+        if self.variant == "ddpm":
+            return self._sample_tile_ddpm(params, lq, key, mask)
         params = self._compute_params(params)
         z_y = self._encode(params.get("vqgan"), lq, up_sample=True)
 
@@ -241,6 +269,34 @@ class ResShiftPipeline:
             clip_denoised=(self.vq is None), model_kwargs=model_kwargs,
             noise_repeat=noise_repeat, unroll=self.scan_unroll,
         )
+        img = self._decode(params.get("vqgan"), z0)
+        return jnp.clip(img, -1.0, 1.0)
+
+    def _sample_tile_ddpm(self, params, lq, key, mask=None):
+        """Classic-DDPM/DDIM chain for one tile batch: pure-noise start at
+        the latent shape, LQ conditioning via model kwargs, first-stage
+        decode at the end — the reference's GaussianDiffusionDDPM
+        p_sample_loop / ddim_sample_loop (gaussian_diffusion.py:894-935,
+        1068-1099) as a single lax.scan."""
+        params = self._compute_params(params)
+        model_kwargs = self._cond_kwargs(params, lq, mask)
+
+        def model_fn(x, t_orig, **kw):
+            return self.unet.apply({"params": params["unet"]}, x, t_orig, **kw)
+
+        b, h, w, _ = lq.shape
+        lat_h, lat_w = self._latent_hw(h, w)
+        shape = (b, lat_h, lat_w,
+                 self.config["model"].get("in_channels", 3))
+        clip = self.vq is None
+        if self.ddpm_sampler == "ddim":
+            z0 = self._ddpm.ddim_sample_loop(
+                self.sched, model_fn, shape, key, eta=self.ddpm_eta,
+                clip_denoised=clip, model_kwargs=model_kwargs)
+        else:
+            z0 = self._ddpm.p_sample_loop(
+                self.sched, model_fn, shape, key, clip_denoised=clip,
+                model_kwargs=model_kwargs)
         img = self._decode(params.get("vqgan"), z0)
         return jnp.clip(img, -1.0, 1.0)
 

@@ -307,9 +307,14 @@ class Trainer:
         if self.tcfg.fsdp and self.n_dev > 1:
             from .parallel.mesh import replicate
 
+            # cache the replicating jit per mesh so snapshots don't
+            # recompile the all-gather at every validation/image-grid call
+            if getattr(self, "_replicate_jit_mesh", None) is not self.mesh:
+                self._replicate_jit = jax.jit(
+                    lambda t: t, out_shardings=replicate(self.mesh))
+                self._replicate_jit_mesh = self.mesh
             with self.mesh:
-                params = jax.jit(lambda t: t,
-                                 out_shardings=replicate(self.mesh))(params)
+                params = self._replicate_jit(params)
         if jax.process_count() == 1:
             return params
         return jax.tree_util.tree_map(np.asarray, params)

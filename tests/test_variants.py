@@ -219,3 +219,64 @@ def test_vqgan_census_ablation_fields():
     out = up.apply(pu, x)
     assert out.shape == (1, 16, 16, 16)
     assert jnp.array_equal(out, jnp.repeat(jnp.repeat(x, 2, 1), 2, 2))
+
+
+def test_ddpm_variant_config_reachable_e2e():
+    """`diffusion.variant: ddpm` routes the full pipeline (pad -> tile ->
+    chain -> decode -> crop) through the classic-DDPM/DDIM sampler — the
+    user-surface equivalent of the reference's
+    create_gaussian_diffusion_ddpm (models/script_util.py:57-92)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resshift_tpu.diffusion.ddpm import DDPMSchedule
+    from resshift_tpu.pipeline import ResShiftPipeline
+
+    from test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    cfg["diffusion"] = dict(variant="ddpm", steps=40, beta_start=1e-4,
+                            beta_end=0.02, predict_type="epsilon",
+                            timestep_respacing=8, scale_factor=1.0, sf=4)
+    pipe = ResShiftPipeline(cfg, dtype=jnp.float32)
+    assert isinstance(pipe.sched, DDPMSchedule)
+    assert pipe.sched.num_timesteps == 8
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                            jnp.float32, -1.0, 1.0)
+    out = np.asarray(pipe.sample(params, lq, jax.random.PRNGKey(2)))
+    assert out.shape == (2, 64, 64, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # conditioning is live: different LQ -> different samples under one key
+    out2 = np.asarray(pipe.sample(params, lq[::-1], jax.random.PRNGKey(2)))
+    assert not np.allclose(out, out2[::-1])
+    # DDIM sub-variant via the same config surface
+    cfg2 = dict(cfg)
+    cfg2["diffusion"] = dict(cfg["diffusion"], sampler="ddim", eta=0.0)
+    pipe2 = ResShiftPipeline(cfg2, dtype=jnp.float32)
+    out3 = np.asarray(pipe2.sample(params, lq, jax.random.PRNGKey(2)))
+    assert out3.shape == (2, 64, 64, 3) and np.isfinite(out3).all()
+    # deterministic at eta=0: same key -> same output
+    out4 = np.asarray(pipe2.sample(params, lq, jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(out3, out4)
+    # chopped path composes with the variant (input > chop_size 16)
+    big = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3),
+                             jnp.float32, -1.0, 1.0)
+    outc = np.asarray(pipe.sample(params, big, jax.random.PRNGKey(4)))
+    assert outc.shape == (1, 128, 128, 3) and np.isfinite(outc).all()
+
+
+def test_ddpm_variant_unknown_rejected():
+    import jax.numpy as jnp
+    import pytest
+
+    from resshift_tpu.pipeline import ResShiftPipeline
+
+    from test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    cfg["diffusion"]["variant"] = "nonsense"
+    with pytest.raises(ValueError, match="variant"):
+        ResShiftPipeline(cfg, dtype=jnp.float32)
