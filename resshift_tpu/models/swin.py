@@ -356,6 +356,7 @@ class SwinTransformerBlock(nn.Module):
         wa, ba = sbp.fold_stats(stats, s1, b1, t)
         if (shift_size > 0 and use_pallas
                 and not (self.attn_identity or self.mlp_identity)
+                and sbp.shift_fuse_fits(w, ws)
                 and not os.environ.get("RSTPU_NO_SHIFT_FUSE")):
             # shift absorbed into the kernels' reads: attn emits the shifted
             # layout, the MLP (pointwise over tokens, so the inverse

@@ -76,6 +76,20 @@ def pallas_available() -> bool:
         return False
 
 
+def shift_fuse_fits(wd: int, ws: int) -> bool:
+    """Whether the shift-ABSORBED kernels can run at this spatial width.
+
+    The shifted assembly reads rows `wi`, `wi+1`, so those kernels block
+    on WHOLE window-rows (`_row_block` cannot split one) and their scoped
+    VMEM scales with the row length `wd*ws` tokens: measured on v5e, a
+    1024-token row (128-wide latent, the RealSet chop-512 path) compiles
+    at ~12.5 MB scoped; a 2048-token row (256-wide latent, batch-1 big
+    inputs) hits 25 MB against the 16 MB scoped limit.  Past the limit the
+    caller falls back to the standalone shift kernel + row-blockable attn
+    /MLP kernels — still fully fused, just not shift-absorbed."""
+    return wd * ws <= 1024
+
+
 # ------------------------------------------------------------------ GN fold
 
 def token_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

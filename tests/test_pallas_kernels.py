@@ -522,3 +522,18 @@ def test_winograd_shape_gate():
     assert not wg.winograd_available((1, 64, 64, 32), 32, 64)  # C too small
     if wg._PALLAS_OK:
         assert wg.winograd_available((1, 64, 64, 128), 128, 128)
+
+
+def test_shift_fuse_capacity_guard():
+    """Batch-1 big inputs: the shift-absorbed kernels block on whole
+    window-rows, so rows past 1024 tokens exceed the 16 MB scoped-VMEM
+    limit (measured on v5e: 128-wide latent fits at ~12.5 MB, 256-wide
+    OOMs at 25 MB).  `shift_fuse_fits` gates the fused path; past it the
+    block routes through the standalone shift kernel + row-blockable
+    attn/MLP kernels (that path's parity is covered above)."""
+    from resshift_tpu.ops.swin_block_pallas import shift_fuse_fits
+
+    assert shift_fuse_fits(64, 8)      # protocol tile, 512-token rows
+    assert shift_fuse_fits(128, 8)     # RealSet chop-512 path (1024)
+    assert not shift_fuse_fits(256, 8)  # batch-1 256px input (2048)
+    assert not shift_fuse_fits(512, 8)  # batch-1 512px input (4096)

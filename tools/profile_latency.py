@@ -28,16 +28,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def measure(pipe, params, hw: int, repeats: int, key):
+def measure(pipe, params, hw: int, repeats: int, key, chop=None, tile_bs=1):
     import jax
     import jax.numpy as jnp
 
     lq = jnp.asarray(
         np.random.default_rng(0).random((1, hw, hw, 3), np.float64)
         .astype(np.float32) * 2 - 1)
+    kw = {}
+    if chop is not None:
+        kw = dict(chop_size=chop[0], chop_stride=chop[1], tile_bs=tile_bs)
 
     def run(k):
-        out = pipe.sample(params, lq, k)
+        out = pipe.sample(params, lq, k, **kw)
         # force completion through the relay (PERF.md methodology #2)
         return float(jnp.mean(out))
 
@@ -66,6 +69,8 @@ def main():
     ap.add_argument("--tasks", default="realsr_v1,realsr_v3")
     ap.add_argument("--sizes", default="64,256,512")
     ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--no-chop", action="store_true",
+                    help="skip the chopped variants at 512")
     args = ap.parse_args()
 
     import jax
@@ -85,14 +90,27 @@ def main():
         pipe = ResShiftPipeline(task, dtype=jnp.bfloat16)
         with jax.default_device(jax.devices("cpu")[0]):
             params = pipe.init_params(jax.random.PRNGKey(0))
+        # arrays created under default_device(cpu) are COMMITTED to cpu and
+        # would pin the jit to the CPU backend — move them to the chip
+        params = jax.device_put(params, jax.devices()[0])
         rows = []
         for hw in (int(s) for s in args.sizes.split(",")):
-            r = measure(pipe, params, hw, args.repeats, key)
-            rows.append(r)
-            print(f"[latency] {task} {r['input']}: p50 {r['p50_ms']} ms "
-                  f"(min {r['min_ms']}, p90 {r['p90_ms']}; "
-                  f"{r['mpx_per_s']} Mpx/s at bs 1; "
-                  f"compile {r['compile_s']}s)", flush=True)
+            # unchopped (reference default: chop_size 512 means <=512 runs
+            # whole) plus, for the RealSet-class 512 input, the chopped
+            # operating points a serving host can choose instead
+            variants = [(None, 1, "")]
+            if hw == 512 and not args.no_chop:
+                variants += [((256, 224), 9, " chop256/224 bs9"),
+                             ((64, 48), 64, " chop64/48 bs64")]
+            for chop, tile_bs, tag in variants:
+                r = measure(pipe, params, hw, args.repeats, key,
+                            chop=chop, tile_bs=tile_bs)
+                r["variant"] = tag.strip() or "unchopped"
+                rows.append(r)
+                print(f"[latency] {task} {r['input']}{tag}: p50 {r['p50_ms']} ms "
+                      f"(min {r['min_ms']}, p90 {r['p90_ms']}; "
+                      f"{r['mpx_per_s']} Mpx/s at bs 1; "
+                      f"compile {r['compile_s']}s)", flush=True)
         report[task] = rows
     out = Path("/tmp/latency_report.json")
     out.write_text(json.dumps(report, indent=2))
