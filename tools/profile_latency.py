@@ -100,7 +100,9 @@ def main():
             # operating points a serving host can choose instead
             variants = [(None, 1, "")]
             if hw == 512 and not args.no_chop:
-                variants += [((256, 224), 9, " chop256/224 bs9"),
+                # chop-256 tile_bs capped at 4: 9 tiles of 256 at once is
+                # 9x a 256^2-latent activation set = 18 GB > the 16 GB HBM
+                variants += [((256, 224), 4, " chop256/224 bs4"),
                              ((64, 48), 64, " chop64/48 bs64")]
             for chop, tile_bs, tag in variants:
                 r = measure(pipe, params, hw, args.repeats, key,
