@@ -60,8 +60,9 @@ def main() -> None:
 
     # ---- 1. combined inference checkpoint (EMA = the reference's eval
     # weights, trainer.py:358-377) ----
-    steps = sorted((run / "ckpts").glob("step_*"))
-    assert steps, f"no checkpoints under {run}/ckpts"
+    steps = sorted((run / "ckpts").glob("step_*")) or \
+        sorted((run / "run_a" / "ckpts").glob("step_*"))
+    assert steps, f"no checkpoints under {run}(/run_a)/ckpts"
     state = load_params(steps[-1])
     unet = state["ema_params" if args.use_ema else "params"]
     vq = load_params(ae / "ae_ckpt")["vqgan"]
