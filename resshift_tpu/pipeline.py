@@ -91,9 +91,12 @@ class ResShiftPipeline:
         self.cond_lq = m.get("cond_lq", True)
         self.cond_mask = m.get("cond_mask", False)
         # lax.scan unroll for the denoising loop (identical math; >1 lets
-        # XLA schedule across steps — measured in tools/profile_unroll.py).
+        # XLA schedule across steps — the tail of step i overlaps the head
+        # of step i+1).  Swept on chip in tools/profile_unroll.py (round 5):
+        # 1 -> 3.079 Mpx/s, 3 -> 3.091, 5 -> 3.108 (+0.9%), 15 -> 3.094;
+        # 5 wins and costs only compile time (84 -> 102 s cold).
         # Part of any jit cache key via the traced sampler closure.
-        self.scan_unroll = 1
+        self.scan_unroll = 5
         ae = config.get("autoencoder")
         if ae is not None and use_autoencoder:
             # quant_vqgan='int8': EXPERIMENTAL quantized conv backbones

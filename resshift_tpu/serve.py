@@ -202,9 +202,25 @@ class Predictor:
     def queue_depth(self) -> int:
         return self._requests.qsize() + len(self._pending)
 
-    def warmup(self, hw: tuple[int, int] = (64, 64), batch_sizes=(1,)):
+    def _bucket(self, n: int) -> int:
+        """Smallest power-of-two >= n, capped at max_batch (dispatch pads
+        to this size so only the warmed bucket programs ever compile)."""
+        b = 1
+        while b < n and b < self.max_batch:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def warmup(self, hw: tuple[int, int] = (64, 64), batch_sizes=None):
         """Pre-compile the sampler for the advertised operating point(s) so
-        the first real request does not pay the 20-40 s XLA compile."""
+        the first real request does not pay the 20-40 s XLA compile.
+        Default: every dispatch bucket (1, 2, 4, ..., max_batch) — with the
+        persistent compile cache, restarts reload these instantly."""
+        if batch_sizes is None:
+            batch_sizes, b = [], 1
+            while b < self.max_batch:
+                batch_sizes.append(b)
+                b *= 2
+            batch_sizes.append(self.max_batch)
         for bs in batch_sizes:
             reqs = [
                 _Request(lq=np.zeros((1, hw[0], hw[1], 3), np.float32),
@@ -295,9 +311,22 @@ class Predictor:
                 return
             self.batch_sizes.append(len(batch))
             try:
+                n = len(batch)
                 lq = np.concatenate([r.lq for r in batch], axis=0)
                 mask = (np.concatenate([r.mask for r in batch], axis=0)
                         if batch[0].mask is not None else None)
+                # pad to the bucket size: the sampler jit-caches per input
+                # SHAPE, so ragged batch sizes would each pay a fresh XLA
+                # compile (~80 s through the relay — measured in the round-5
+                # load test: a 96-request burst produced ragged batches and
+                # p90 74 s).  Buckets {1,2,4,...,max_batch} bound the
+                # program count; `warmup` pre-compiles them all.
+                pad = self._bucket(n) - n
+                if pad:
+                    lq = np.concatenate([lq, np.repeat(lq[-1:], pad, 0)], 0)
+                    if mask is not None:
+                        mask = np.concatenate(
+                            [mask, np.repeat(mask[-1:], pad, 0)], 0)
                 key = jax.random.fold_in(self._key, next(self._count))
                 t0 = time.perf_counter()
                 if self.mesh is not None and (
@@ -313,7 +342,7 @@ class Predictor:
                 else:
                     out = self.pipe.sample(self.params, lq, key, mask=mask,
                                            tile_bs=self.chop_bs)
-                sr = from_model(np.asarray(out))
+                sr = from_model(np.asarray(out)[:n])
                 self._lat.append(time.perf_counter() - t0)
                 self._n_done += len(batch)
                 for i, r in enumerate(batch):
@@ -491,10 +520,20 @@ def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | No
     _Handler.max_body = int(max_body_mb) * 1024 * 1024
     if warmup:
         h, w = (int(v) for v in warmup.lower().split("x"))
-        print(f"[serve] warming up jit for {h}x{w} (bs 1 and {max_batch})...",
-              file=sys.stderr)
-        _Handler.predictor.warmup((h, w), batch_sizes=(1, max_batch))
-    httpd = ThreadingHTTPServer((host, port), _Handler)
+        print(f"[serve] warming up jit for {h}x{w} (all dispatch buckets "
+              f"up to {max_batch})...", file=sys.stderr)
+        _Handler.predictor.warmup((h, w))
+    # default TCP accept backlog is 5 — a modest concurrent burst (the
+    # load test's 32 parallel connections, tools/serve_loadtest.py) gets
+    # kernel-level connection RESETS before the bounded-queue admission
+    # control can answer 429.  Backpressure must happen at the
+    # application layer, so the listen backlog has to exceed any burst
+    # we intend to 429.
+    class _Server(ThreadingHTTPServer):
+        request_queue_size = 512
+        daemon_threads = True
+
+    httpd = _Server((host, port), _Handler)
     print(f"[serve] {task} listening on {host}:{port} (browser demo at /)",
           file=sys.stderr)
     httpd.serve_forever()
