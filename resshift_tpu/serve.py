@@ -89,7 +89,8 @@ class Predictor:
                  chop_bs: int = 128, max_batch: int = 16,
                  batch_window_s: float = 0.01, quant_vqgan: str | None = None,
                  data_parallel: bool | None = None, max_queue: int = 64,
-                 request_timeout_s: float | None = 300.0):
+                 request_timeout_s: float | None = 300.0,
+                 chop_size: int | None = None, chop_stride: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -99,6 +100,15 @@ class Predictor:
         enable_compile_cache()  # serving restarts skip the 20-40 s jit
         self.pipe = ResShiftPipeline(task, dtype=jnp.bfloat16 if bf16 else jnp.float32,
                                      quant_vqgan=quant_vqgan)
+        # serving operating point for big inputs: the task default mirrors
+        # the reference (chop 512 ⇒ ≤512 runs unchopped), but on v5e
+        # chopping to 64-px tiles batched wide is 2-2.4× faster end-to-end
+        # (PERF.md round-5 latency table) — operators pick via --chop-size
+        if chop_size:
+            self.pipe.chop_size = int(chop_size)
+            self.pipe.chop_stride = int(
+                chop_stride if chop_stride else
+                {512: 448, 256: 224, 64: 48}.get(int(chop_size), chop_size))
         # multi-chip serving: shard each dispatched micro-batch over a
         # `data` mesh axis (pipeline.sample_batch_sharded — every image's
         # sampler is chip-local, zero collective traffic).  Auto-on when
@@ -510,12 +520,15 @@ def serve(task: str = "realsr_v3", ckpt: str | None = None, vqgan_ckpt: str | No
           max_batch: int = 16, warmup: str | None = None,
           max_body_mb: int = 64, quant_vqgan: str | None = None,
           data_parallel: bool | None = None, max_queue: int = 64,
-          request_timeout_s: float = 300.0):
+          request_timeout_s: float = 300.0, chop_size: int | None = None,
+          chop_stride: int | None = None):
     _Handler.predictor = Predictor(task, ckpt, vqgan_ckpt, chop_bs=chop_bs,
                                    max_batch=max_batch, quant_vqgan=quant_vqgan,
                                    data_parallel=data_parallel,
                                    max_queue=max_queue,
-                                   request_timeout_s=request_timeout_s)
+                                   request_timeout_s=request_timeout_s,
+                                   chop_size=chop_size,
+                                   chop_stride=chop_stride)
     _Handler.task = task
     _Handler.max_body = int(max_body_mb) * 1024 * 1024
     if warmup:
@@ -571,10 +584,17 @@ def main(argv=None):
                    help="shard each dispatched batch over all local chips "
                         "(auto-on for multi-chip TPU hosts)")
     p.add_argument("--no-dp", dest="data_parallel", action="store_false")
+    p.add_argument("--chop-size", type=int, default=None,
+                   choices=[512, 256, 64],
+                   help="tile size for big inputs (default: task config, "
+                        "512 like the reference; chop 64 + --chop-bs 64-128 "
+                        "is 2-2.4x faster on v5e — PERF.md latency table)")
+    p.add_argument("--chop-stride", type=int, default=None,
+                   help="tile stride (default: reference stride for the size)")
     a = p.parse_args(argv)
     serve(a.task, a.ckpt, a.vqgan_ckpt, a.host, a.port, a.chop_bs,
           a.max_batch, a.warmup, a.max_body_mb, a.quant_vqgan, a.data_parallel,
-          a.max_queue, a.request_timeout)
+          a.max_queue, a.request_timeout, a.chop_size, a.chop_stride)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,11 @@ def compile_modes(n_devices: int = N_DEV) -> dict[str, str]:
     from resshift_tpu.trainer import TrainConfig, create_state, make_train_step
 
     pipe = ResShiftPipeline(_tiny_cfg(), dtype=jnp.float32)
+    # per-TICK attribution needs the denoising scan to stay a while loop;
+    # the production default (scan_unroll=5, tools/profile_unroll.py) fully
+    # unrolls this 4-step census config and would fold the loop body into
+    # the top-level computation
+    pipe.scan_unroll = 1
     params = pipe.init_params(jax.random.PRNGKey(0))
     hlos: dict[str, str] = {}
 
