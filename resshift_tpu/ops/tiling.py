@@ -93,13 +93,26 @@ class TileGrid:
         return jnp.concatenate(tiles, axis=0)
 
     def gather(self, tiles: jnp.ndarray, batch: int, channels: int | None = None) -> jnp.ndarray:
-        """(T*B, th*sf, tw*sf, C) -> (B, H*sf, W*sf, C) overlap-averaged."""
+        """(T*B, th*sf, tw*sf, C) -> (B, H*sf, W*sf, C) overlap-averaged.
+
+        The accumulation runs on a (B, H, W*C) canvas: merging W and C
+        keeps each tile's contribution one contiguous static 2-D slice
+        with a wide minor dim.  On the (B, H, W, 3) form, XLA's layout
+        assignment put the 3-channel dim in the 128-lane position for
+        large single-chunk grids (3 → 128 = 42× padding: the pad+add
+        lowering of the scatter chain materialized an 8 GB temp for a
+        2048² canvas and OOMed HBM — round-5 serving finding).
+        """
         th, tw = self.tile_hw
         sf = self.sf
         c = channels or tiles.shape[-1]
-        out = jnp.zeros((batch, self.height * sf, self.width * sf, c), tiles.dtype)
+        hh, ww = self.height * sf, self.width * sf
+        out = jnp.zeros((batch, hh, ww * c), tiles.dtype)
+        tiles = tiles.reshape(self.num_tiles * batch, th * sf, tw * sf * c)
         for n, (i, j) in enumerate(self.starts):
-            out = out.at[:, i * sf:(i + th) * sf, j * sf:(j + tw) * sf, :].add(
+            out = out.at[:, i * sf:(i + th) * sf,
+                         j * sf * c:(j + tw) * sf * c].add(
                 tiles[n * batch:(n + 1) * batch]
             )
+        out = out.reshape(batch, hh, ww, c)
         return out / jnp.asarray(self._count, dtype=tiles.dtype)
