@@ -231,18 +231,27 @@ class Predictor:
                 batch_sizes.append(b)
                 b *= 2
             batch_sizes.append(self.max_batch)
-        for bs in batch_sizes:
-            reqs = [
-                _Request(lq=np.zeros((1, hw[0], hw[1], 3), np.float32),
-                         mask=None, done=threading.Event())
-                for _ in range(bs)
-            ]
-            for r in reqs:
-                self._submit(r)
-            for r in reqs:
-                r.done.wait()
-                if r.error is not None:
-                    raise r.error
+        # widen the batching window so each warmup group reliably collects
+        # into ONE batch of exactly `bs` (a split batch would pad to and
+        # compile a different bucket, leaving `bs` cold); plain-float write
+        # is visible to the worker's next _collect
+        old_window = self.batch_window_s
+        self.batch_window_s = max(old_window, 0.25)
+        try:
+            for bs in batch_sizes:
+                reqs = [
+                    _Request(lq=np.zeros((1, hw[0], hw[1], 3), np.float32),
+                             mask=None, done=threading.Event())
+                    for _ in range(bs)
+                ]
+                for r in reqs:
+                    self._submit(r)
+                for r in reqs:
+                    r.done.wait()
+                    if r.error is not None:
+                        raise r.error
+        finally:
+            self.batch_window_s = old_window
 
     def close(self):
         """Stop accepting work, let the worker finish the in-flight batch,
