@@ -34,7 +34,6 @@ except Exception:  # pragma: no cover
 
 __all__ = ["shift_tokens_pallas", "pallas_available"]
 
-_BLOCK_BYTES = 2 << 20  # ~2MB of tokens per block (VMEM use ~2x this)
 
 
 def pallas_available() -> bool:
@@ -75,15 +74,26 @@ def _call(xt, h, w, ws, shift, inverse):
     nwh, nww = h // ws, w // ws
     row = nww * ws * ws  # tokens per window-row
     row_bytes = row * c * xt.dtype.itemsize
-    # pick rows-per-block k | nwh with k*row_bytes <= _BLOCK_BYTES, then pack
-    # images (bb | b) while the whole image fits in one block
-    k = nwh
-    while k > 1 and (nwh % k or k * row_bytes > _BLOCK_BYTES):
+    # scoped-VMEM model (fit from on-chip failures: w=320/k=2 OOMed at
+    # 17.47M; w=128/k=4 runs at ~13.5M): peak ≈ 7·blk_bytes + 3.7·row_bytes
+    # (double-buffered in/neighbor/out blocks + the kernel's concat temps).
+    # Budget 15M against the 16M limit; if even one row per block does not
+    # fit (w ≥ ~448 at c=192 bf16), the XLA row-gather is the right tool —
+    # these huge-latent programs are ≥1 s anyway, the ~1 ms gather is noise.
+    budget = 15 * (1 << 20)
+    k_max = int((budget / row_bytes - 3.7) / 7.0)
+    if k_max < 1:
+        from ..models.swin import shift_permutation
+
+        perm, inv = shift_permutation(h, w, ws, shift)
+        return jnp.take(xt, jnp.asarray(inv if inverse else perm), axis=1)
+    k = min(nwh, k_max)
+    while k > 1 and nwh % k:
         k -= 1
     bb = 1
     if k == nwh:
         for cand in (8, 4, 2):
-            if b % cand == 0 and cand * k * row_bytes <= _BLOCK_BYTES:
+            if b % cand == 0 and cand * (7 * k + 3.7) * row_bytes <= budget:
                 bb = cand
                 break
     blk = k * row
