@@ -537,3 +537,28 @@ def test_shift_fuse_capacity_guard():
     assert shift_fuse_fits(128, 8)     # RealSet chop-512 path (1024)
     assert not shift_fuse_fits(256, 8)  # batch-1 256px input (2048)
     assert not shift_fuse_fits(512, 8)  # batch-1 512px input (4096)
+
+
+def test_shift_tokens_wide_row_xla_fallback():
+    """Rows too wide for the shift kernel's scoped-VMEM budget (>=448-wide
+    latents at c=192 bf16 — hit by RealSet65's mixed shapes) route through
+    the XLA row-gather INSIDE shift_tokens_pallas, so the call is exact and
+    needs no pallas backend at all."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resshift_tpu.models.swin import shift_permutation
+    from resshift_tpu.ops import shift_pallas as sp
+
+    h, w, ws, shift, c = 16, 512, 8, 4, 192
+    row_bytes = (w // ws) * ws * ws * c * 2  # bf16
+    assert int((15 * (1 << 20) / row_bytes - 3.7) / 7.0) < 1  # fallback regime
+    xt = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, h * w, c)).astype(np.float32)).astype(jnp.bfloat16)
+    got = sp.shift_tokens_pallas(xt, h, w, ws, shift)
+    perm, inv = shift_permutation(h, w, ws, shift)
+    want = jnp.take(xt, jnp.asarray(perm), axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    back = sp.shift_tokens_pallas(got, h, w, ws, shift, inverse=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(xt))
